@@ -1,0 +1,96 @@
+"""Flow warping utilities shared by the LFG generator and flow predictor.
+
+TPU-native equivalents of LFG/modules/generator.py:61-90 (deform_input /
+apply_optical) and LFG/modules/util.py:217-265 (AntiAliasInterpolation2d),
+operating on NHWC with flow grids in normalized [-1, 1] xy coordinates.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dawn_tpu.ops.resample import grid_sample, interpolate_bilinear
+from dawn_tpu.ops.convs import depthwise_conv2d
+
+
+def deform_input(inp: jax.Array, optical_flow: jax.Array) -> jax.Array:
+    """Warp ``inp`` (N,H,W,C) by a normalized flow grid (N,h,w,2).
+
+    The flow is bilinearly resized to the input resolution first when shapes
+    differ (generator.py:61-69 semantics, align_corners=False).
+    """
+    _, h_old, w_old, _ = optical_flow.shape
+    _, h, w, _ = inp.shape
+    if (h_old, w_old) != (h, w):
+        optical_flow = interpolate_bilinear(optical_flow, h, w)
+    return grid_sample(inp, optical_flow)
+
+
+def apply_optical(input_skip: jax.Array, optical_flow: jax.Array,
+                  occlusion_map: Optional[jax.Array] = None,
+                  input_previous: Optional[jax.Array] = None) -> jax.Array:
+    """Warp a skip feature and occlusion-blend with the decoder stream.
+
+    out = warp(skip) * occ + previous * (1 - occ)   (generator.py:71-90).
+    """
+    out = deform_input(input_skip, optical_flow)
+    if occlusion_map is not None:
+        if occlusion_map.shape[1:3] != out.shape[1:3]:
+            occlusion_map = interpolate_bilinear(occlusion_map, out.shape[1], out.shape[2])
+        if input_previous is not None:
+            out = out * occlusion_map + input_previous * (1 - occlusion_map)
+        else:
+            out = out * occlusion_map
+    return out
+
+
+def make_coordinate_grid(h: int, w: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(h, w, 2) grid of (x, y) in [-1, 1], torch align_corners=True style
+    (LFG/modules/util.py:51-67: x = 2*(i/(size-1)) - 1)."""
+    x = 2 * (np.arange(w) / (w - 1)) - 1
+    y = 2 * (np.arange(h) / (h - 1)) - 1
+    xx = np.broadcast_to(x[None, :], (h, w))
+    yy = np.broadcast_to(y[:, None], (h, w))
+    return jnp.asarray(np.stack([xx, yy], axis=-1), dtype=dtype)
+
+
+def anti_alias_downsample(x: jax.Array, scale: float) -> jax.Array:
+    """Gaussian blur + stride subsample (AntiAliasInterpolation2d, util.py:217).
+
+    Used to shrink images before region/flow prediction (scale_factor 0.25).
+    """
+    if scale == 1.0:
+        return x
+    sigma = (1 / scale - 1) / 2
+    ks = 2 * round(sigma * 4) + 1
+    ka = ks // 2
+    kb = ka - 1 if ks % 2 == 0 else ka
+    grid = np.arange(ks, dtype=np.float64)
+    g1 = np.exp(-((grid - (ks - 1) / 2) ** 2) / (2 * sigma ** 2))
+    kernel = np.outer(g1, g1)
+    kernel = (kernel / kernel.sum()).astype(np.float32)
+    out = depthwise_conv2d(x, jnp.asarray(kernel), padding=((ka, kb), (ka, kb)))
+    step = int(1 / scale)
+    return out[:, ::step, ::step, :]
+
+
+def region2gaussian(center: jax.Array, covar, h: int, w: int) -> jax.Array:
+    """Region params -> gaussian heatmap (util.py:22-48).
+
+    center: (..., 2) normalized xy; covar: float or (..., 2, 2).
+    Returns (..., h, w).
+    """
+    grid = make_coordinate_grid(h, w, center.dtype)          # (h, w, 2)
+    lead = center.shape[:-1]
+    grid = jnp.broadcast_to(grid, lead + (h, w, 2))
+    mean = center.reshape(lead + (1, 1, 2))
+    d = grid - mean
+    if isinstance(covar, float):
+        return jnp.exp(-0.5 * jnp.sum(d * d, axis=-1) / covar)
+    covar_inv = jnp.linalg.inv(covar).reshape(lead + (1, 1, 2, 2))
+    under = jnp.einsum("...i,...ij,...j->...", d, covar_inv, d)
+    return jnp.exp(-0.5 * under)

@@ -1,0 +1,124 @@
+"""Smoke tests: UNet3D forward shapes, full-vs-local mode, diffusion roundtrip.
+
+Mirrors the reference's in-__main__ smoke style (FlowDiffusion smoke,
+..._init_cond_test.py:433-452) as a proper pytest suite on tiny shapes.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from dawn_tpu.models.dm import Unet3D, GaussianDiffusion
+
+B, T, H, W = 1, 6, 8, 8
+CH = 3 + 256 + 16
+
+
+def tiny_unet(attn_mode="full"):
+    return Unet3D(dim=16, dim_mults=(1, 2), channels=CH, cond_pose=6,
+                  win_width=2, attn_mode=attn_mode)
+
+
+@pytest.fixture(scope="module")
+def unet_and_params():
+    model = tiny_unet()
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((B, T, H, W, CH))
+    cond = jnp.zeros((B, T, 1024 + 6 + 2))
+    params = model.init(rng, x, jnp.zeros((B,), jnp.int32), cond)
+    return model, params
+
+
+class TestUnet3D:
+    def test_output_shape(self, unet_and_params):
+        model, params = unet_and_params
+        x = jnp.asarray(np.random.RandomState(0).randn(B, T, H, W, CH), jnp.float32)
+        cond = jnp.asarray(np.random.RandomState(1).randn(B, T, 1032), jnp.float32)
+        out = model.apply(params, x, jnp.asarray([3]), cond)
+        assert out.shape == (B, T, H, W, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_local_mode_matches_full(self, unet_and_params):
+        """full (windowed-mask) vs local (banded) attention agree end to end —
+        the load-bearing equivalence for long-video generation."""
+        model, params = unet_and_params
+        local = tiny_unet("local")
+        x = jnp.asarray(np.random.RandomState(2).randn(B, T, H, W, CH), jnp.float32)
+        cond = jnp.asarray(np.random.RandomState(3).randn(B, T, 1032), jnp.float32)
+        t = jnp.asarray([7])
+        a = model.apply(params, x, t, cond)
+        b = local.apply(params, x, t, cond)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+    def test_cond_drop_null(self, unet_and_params):
+        """all-True drop mask == zero condition (learn_null_cond=False)."""
+        model, params = unet_and_params
+        x = jnp.asarray(np.random.RandomState(4).randn(B, T, H, W, CH), jnp.float32)
+        cond = jnp.asarray(np.random.RandomState(5).randn(B, T, 1032), jnp.float32)
+        t = jnp.asarray([11])
+        dropped = model.apply(params, x, t, cond, jnp.ones((B, T), bool))
+        zeroed = model.apply(params, x, t, jnp.zeros_like(cond))
+        np.testing.assert_allclose(np.asarray(dropped), np.asarray(zeroed), atol=1e-6)
+
+
+class TestGaussianDiffusion:
+    def test_q_sample_roundtrip(self):
+        gd = GaussianDiffusion()
+        x0 = jnp.asarray(np.random.RandomState(0).randn(2, 3, 4, 4, 3), jnp.float32)
+        noise = jnp.asarray(np.random.RandomState(1).randn(*x0.shape), jnp.float32)
+        t = jnp.asarray([100, 500])
+        xt = gd.q_sample(x0, t, noise)
+        x0_rec = gd.predict_start_from_noise(
+            xt, t, noise)
+        np.testing.assert_allclose(np.asarray(x0_rec), np.asarray(x0), atol=1e-4)
+
+    def test_ddim_sample_runs(self, unet_and_params):
+        model, params = unet_and_params
+        gd = GaussianDiffusion(sampling_timesteps=3)
+
+        def denoise(x, t, cond, drop):
+            return model.apply(params, x, t, cond, drop)
+
+        fea = jnp.zeros((B, T, H, W, 256))
+        bbox = jnp.zeros((B, T, H, W, 16))
+        cond = jnp.zeros((B, T, 1032))
+        out = gd.ddim_sample(denoise, jax.random.PRNGKey(0), (B, T, H, W, 3),
+                             fea, bbox, cond)
+        assert out.shape == (B, T, H, W, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_ddim_deterministic_with_noise_seq(self, unet_and_params):
+        model, params = unet_and_params
+        gd = GaussianDiffusion(sampling_timesteps=2)
+
+        def denoise(x, t, cond, drop):
+            return model.apply(params, x, t, cond, drop)
+
+        fea = jnp.zeros((B, T, H, W, 256))
+        bbox = jnp.zeros((B, T, H, W, 16))
+        cond = jnp.zeros((B, T, 1032))
+        noise_seq = jnp.asarray(
+            np.random.RandomState(9).randn(3, B, T, H, W, 3), jnp.float32)
+        a = gd.ddim_sample(denoise, jax.random.PRNGKey(0), (B, T, H, W, 3),
+                           fea, bbox, cond, noise_seq=noise_seq)
+        b = gd.ddim_sample(denoise, jax.random.PRNGKey(1), (B, T, H, W, 3),
+                           fea, bbox, cond, noise_seq=noise_seq)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_p_losses(self, unet_and_params):
+        model, params = unet_and_params
+        gd = GaussianDiffusion()
+
+        def denoise(x, t, cond, drop):
+            return model.apply(params, x, t, cond, drop)
+
+        x0 = jnp.asarray(np.random.RandomState(0).randn(B, T, H, W, 3), jnp.float32)
+        fea = jnp.zeros((B, T, H, W, 256))
+        bbox = jnp.zeros((B, T, H, W, 16))
+        cond = jnp.zeros((B, T, 1032))
+        loss, pred_x0, drop = gd.p_losses(denoise, jax.random.PRNGKey(0), x0,
+                                          jnp.asarray([500]), fea, bbox, cond)
+        assert loss.shape == x0.shape
+        assert pred_x0.shape == x0.shape
+        assert float(jnp.abs(pred_x0).max()) <= 1.0 + 1e-5

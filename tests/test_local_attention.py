@@ -1,0 +1,76 @@
+"""Local (sliding-window) attention vs windowed full attention.
+
+This mirrors the reference's own correctness check
+(DM_3/modules/local_attention.py:532-559: optimized-vs-full output MSE),
+applied to our banded XLA path and the Pallas kernel (interpret mode on CPU).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dawn_tpu.ops.local_attention import (
+    local_attention_banded, local_attention_pallas,
+)
+from dawn_tpu.ops.t5bias import (
+    t5_bias_matrix, t5_bias_windowed_vector, window_mask,
+)
+
+RNG = np.random.RandomState(7)
+
+
+def full_windowed_attention(q, k, v, bias_full):
+    """O(T^2) reference: softmax(qk + bias) v, bias (H, T, T) incl. -1e8 mask."""
+    sim = jnp.einsum("nhid,nhjd->nhij", q, k) + bias_full[None]
+    sim = sim - sim.max(axis=-1, keepdims=True)
+    attn = jax.nn.softmax(sim, axis=-1)
+    return jnp.einsum("nhij,nhjd->nhid", attn, v)
+
+
+def _make_inputs(n, h, t, d):
+    q = jnp.asarray(RNG.randn(n, h, t, d).astype(np.float32)) * (d ** -0.5)
+    k = jnp.asarray(RNG.randn(n, h, t, d).astype(np.float32))
+    v = jnp.asarray(RNG.randn(n, h, t, d).astype(np.float32))
+    emb = jnp.asarray(RNG.randn(32, h).astype(np.float32))
+    return q, k, v, emb
+
+
+class TestBandedVsFull:
+    def test_matches_windowed_full_t200_w20(self):
+        # the reference benchmark shape: T=200, window 20 (local_attention.py:532)
+        n, h, t, d, w = 2, 4, 200, 32, 20
+        q, k, v, emb = _make_inputs(n, h, t, d)
+        bias_full = t5_bias_matrix(emb, t, 32, 32) + jnp.asarray(window_mask(t, w))
+        ref = full_windowed_attention(q, k, v, bias_full)
+        vec = t5_bias_windowed_vector(emb, w, 32, 32)
+        got = local_attention_banded(q, k, v, vec, w)
+        mse = float(jnp.mean((ref - got) ** 2))
+        assert mse < 1e-10, mse
+
+    def test_odd_length_and_window(self):
+        n, h, t, d, w = 1, 8, 77, 32, 40
+        q, k, v, emb = _make_inputs(n, h, t, d)
+        bias_full = t5_bias_matrix(emb, t, 32, 32) + jnp.asarray(window_mask(t, w))
+        ref = full_windowed_attention(q, k, v, bias_full)
+        vec = t5_bias_windowed_vector(emb, w, 32, 32)
+        got = local_attention_banded(q, k, v, vec, w, block_q=32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_no_bias(self):
+        n, h, t, d, w = 1, 2, 50, 16, 10
+        q, k, v, _ = _make_inputs(n, h, t, d)
+        bias_full = jnp.asarray(window_mask(t, w))[None]
+        bias_full = jnp.broadcast_to(bias_full, (h, t, t))
+        ref = full_windowed_attention(q, k, v, bias_full)
+        got = local_attention_banded(q, k, v, None, w, block_q=16)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+class TestPallasKernel:
+    def test_interpret_matches_banded(self):
+        n, h, t, d, w = 1, 4, 130, 32, 20
+        q, k, v, emb = _make_inputs(n, h, t, d)
+        vec = t5_bias_windowed_vector(emb, w, 32, 32)
+        ref = local_attention_banded(q, k, v, vec, w, block_q=64)
+        got = local_attention_pallas(q, k, v, vec, w, block_q=64, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)

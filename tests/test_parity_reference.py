@@ -1,0 +1,168 @@
+"""Frame-for-frame parity against the ACTUAL reference torch code.
+
+These tests import the reference implementation from /root/reference (read
+only, with API shims for its absent pip deps), random-initialize it, convert
+the torch state_dict through dawn_tpu.weights, and compare outputs bit-close.
+This validates the weight converter AND every architectural detail at once —
+the strongest possible check that the released DAWN/LFG checkpoints will load
+and reproduce (SURVEY.md section 4, parity fixture (b)).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REF = "/root/reference"
+
+# shims first so `import torchvision` etc. resolve, then the reference tree
+for p in (os.path.join(HERE, "ref_shims"), REF):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+torch.manual_seed(0)
+
+
+def t2n(t):
+    return t.detach().cpu().numpy()
+
+
+def to_nhwc(t):  # (N, C, H, W) -> (N, H, W, C)
+    return np.transpose(t2n(t), (0, 2, 3, 1))
+
+
+def video_to_jax(t):  # (B, C, T, H, W) -> (B, T, H, W, C)
+    return np.transpose(t2n(t), (0, 2, 3, 4, 1))
+
+
+@pytest.fixture(scope="module")
+def ref_unet_mod():
+    import importlib
+    return importlib.import_module(
+        "DM_3.modules.video_flow_diffusion_multiGPU_v0_crema_plus_faceemb_ca_multi_test")
+
+
+class TestUnetParity:
+    @pytest.fixture(scope="class")
+    def pair(self, ref_unet_mod):
+        from dawn_tpu.models.dm import Unet3D
+        from dawn_tpu.weights import convert_unet3d
+
+        T, H = 5, 8
+        tnet = ref_unet_mod.Unet3D(
+            dim=16, cond_dim=1024 + 6 + 2, cond_aud=1024, cond_pose=6,
+            cond_eye=2, num_frames=T, channels=275, out_grid_dim=2,
+            out_conf_dim=1, dim_mults=(1, 2), use_hubert_audio_cond=True,
+            win_width=2).eval()
+        jnet = Unet3D(dim=16, dim_mults=(1, 2), channels=275, cond_pose=6,
+                      win_width=2)
+        variables = convert_unet3d(
+            {k: v for k, v in tnet.state_dict().items()}, num_levels=2)
+        return tnet, jnet, variables, T, H
+
+    def test_full_forward(self, pair):
+        tnet, jnet, variables, T, H = pair
+        rng = np.random.RandomState(0)
+        x = rng.randn(1, 275, T, H, H).astype(np.float32)
+        cond = rng.randn(1, T, 1032).astype(np.float32)
+        t = np.array([37], dtype=np.int64)
+
+        with torch.no_grad():
+            ref = tnet.forward(torch.from_numpy(x), torch.from_numpy(t),
+                               cond=torch.from_numpy(cond), null_cond_prob=0.0)
+        got = jnet.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1))),
+                         jnp.asarray(t.astype(np.int32)), jnp.asarray(cond))
+        ref_nhwc = video_to_jax(ref)
+        err = np.abs(np.asarray(got) - ref_nhwc).max()
+        assert err < 5e-4, f"UNet parity max err {err}"
+
+    def test_local_mode_matches_reference(self, pair):
+        """our local-attention mode == the reference windowed full attention."""
+        from dawn_tpu.models.dm import Unet3D
+        tnet, _, variables, T, H = pair
+        jlocal = Unet3D(dim=16, dim_mults=(1, 2), channels=275, cond_pose=6,
+                        win_width=2, attn_mode="local")
+        rng = np.random.RandomState(1)
+        x = rng.randn(1, 275, T, H, H).astype(np.float32)
+        cond = rng.randn(1, T, 1032).astype(np.float32)
+        t = np.array([512], dtype=np.int64)
+        with torch.no_grad():
+            ref = tnet.forward(torch.from_numpy(x), torch.from_numpy(t),
+                               cond=torch.from_numpy(cond), null_cond_prob=0.0)
+        got = jlocal.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1))),
+                           jnp.asarray([512], jnp.int32), jnp.asarray(cond))
+        err = np.abs(np.asarray(got) - video_to_jax(ref)).max()
+        assert err < 5e-4, f"local-attn UNet parity max err {err}"
+
+
+class TestLFGParity:
+    @pytest.fixture(scope="class")
+    def pair(self):
+        from LFG.modules.generator import Generator as TorchGenerator
+        from dawn_tpu.models.lfg import LFGGenerator
+        from dawn_tpu.weights import convert_lfg_generator
+
+        tgen = TorchGenerator(num_channels=3, num_regions=10, block_expansion=16,
+                              max_features=128, num_down_blocks=2,
+                              num_bottleneck_blocks=2, skips=True,
+                              pixelwise_flow_predictor_params=None).eval()
+        # randomize BN running stats so eval-mode normalization is exercised
+        sd = tgen.state_dict()
+        rng = np.random.RandomState(3)
+        for k in sd:
+            if k.endswith("running_mean"):
+                sd[k] = torch.from_numpy(rng.randn(*sd[k].shape).astype(np.float32) * 0.1)
+            if k.endswith("running_var"):
+                sd[k] = torch.from_numpy(rng.rand(*sd[k].shape).astype(np.float32) + 0.5)
+        tgen.load_state_dict(sd)
+
+        jgen = LFGGenerator(block_expansion=16, max_features=128,
+                            num_down_blocks=2, num_bottleneck_blocks=2)
+        variables = convert_lfg_generator(
+            {k: v for k, v in tgen.state_dict().items()},
+            num_down_blocks=2, num_bottleneck=2)["generator"]
+        return tgen, jgen, variables
+
+    def test_compute_fea(self, pair):
+        tgen, jgen, variables = pair
+        rng = np.random.RandomState(0)
+        img = rng.rand(1, 3, 32, 32).astype(np.float32)
+        with torch.no_grad():
+            ref = tgen.compute_fea(torch.from_numpy(img))
+        from dawn_tpu.models.lfg.generator import LFGGenerator
+        got = jgen.apply(variables, jnp.asarray(np.transpose(img, (0, 2, 3, 1))),
+                         method=LFGGenerator.compute_fea)
+        err = np.abs(np.asarray(got) - to_nhwc(ref)).max()
+        assert err < 1e-4, err
+
+    def test_forward_with_flow_batched_frames(self, pair):
+        """our all-frames batched decode == reference per-frame loop."""
+        tgen, jgen, variables = pair
+        from dawn_tpu.models.lfg.generator import LFGGenerator
+        rng = np.random.RandomState(1)
+        T = 3
+        img = rng.rand(1, 3, 32, 32).astype(np.float32)
+        flow = (rng.rand(T, 8, 8, 2).astype(np.float32) * 2.2 - 1.1)
+        occ = rng.rand(T, 8, 8, 1).astype(np.float32)
+
+        refs = []
+        with torch.no_grad():
+            for i in range(T):
+                out = tgen.forward_with_flow(
+                    source_image=torch.from_numpy(img),
+                    optical_flow=torch.from_numpy(flow[i: i + 1]),
+                    occlusion_map=torch.from_numpy(
+                        np.transpose(occ[i: i + 1], (0, 3, 1, 2))))
+                refs.append(to_nhwc(out["prediction"])[0])
+        ref = np.stack(refs)
+
+        got = jgen.apply(variables, jnp.asarray(np.transpose(img, (0, 2, 3, 1))),
+                         jnp.asarray(flow), jnp.asarray(occ),
+                         method=LFGGenerator.decode_with_flow)
+        err = np.abs(np.asarray(got["prediction"]) - ref).max()
+        assert err < 1e-4, f"LFG decode parity max err {err}"
