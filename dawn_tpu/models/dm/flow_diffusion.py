@@ -111,16 +111,25 @@ class FlowDiffusion:
     def init_variables(self, rng: jax.Array, num_frames: int = 2) -> Dict[str, Any]:
         cfg = self.config
         s, ls = cfg.img_size, cfg.latent_size
-        r1, r2, r3 = jax.random.split(rng, 3)
-        unet_vars = self.unet.init(
-            r1, jnp.zeros((1, num_frames, ls, ls, 275)),
-            jnp.zeros((1,), jnp.int32),
-            jnp.zeros((1, num_frames, 1024 + cfg.pose_dim + 2)))
-        gen_vars = self.generator.init(
-            r2, jnp.zeros((1, s, s, 3)), jnp.zeros((1, ls, ls, 2)),
-            jnp.zeros((1, ls, ls, 1)), method=LFGGenerator.decode_with_flow)
-        face_vars = self.face_loc.init(r3, jnp.zeros((1, s, s, 1)))
-        return {"unet": unet_vars, "generator": gen_vars, "face_loc": face_vars}
+
+        # One jitted init program: flax init runs thousands of tiny ops, and
+        # dispatching them individually over the axon TPU tunnel takes ~10min;
+        # under jit it is a single compile + execute.
+        @jax.jit
+        def _init(rng):
+            r1, r2, r3 = jax.random.split(rng, 3)
+            unet_vars = self.unet.init(
+                r1, jnp.zeros((1, num_frames, ls, ls, 275)),
+                jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, num_frames, 1024 + cfg.pose_dim + 2)))
+            gen_vars = self.generator.init(
+                r2, jnp.zeros((1, s, s, 3)), jnp.zeros((1, ls, ls, 2)),
+                jnp.zeros((1, ls, ls, 1)), method=LFGGenerator.decode_with_flow)
+            face_vars = self.face_loc.init(r3, jnp.zeros((1, s, s, 1)))
+            return {"unet": unet_vars, "generator": gen_vars,
+                    "face_loc": face_vars}
+
+        return _init(rng)
 
     # ------------------------------------------------------------- condition
     def build_condition(self, audio_hubert, pose, eye, init_pose, init_eye):

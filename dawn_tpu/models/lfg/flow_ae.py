@@ -40,17 +40,21 @@ class FlowAE:
             **(flow_kw or {}))
 
     def init_variables(self, rng: jax.Array, img_size: int = 128) -> Dict[str, Any]:
-        r1, r2, r3, r4 = jax.random.split(rng, 4)
-        img = jnp.zeros((1, img_size, img_size, 3))
-        gen_vars = self.generator.init(r1, img, jnp.zeros((1, img_size // 4, img_size // 4, 2)),
-                                       jnp.zeros((1, img_size // 4, img_size // 4, 1)),
-                                       method=LFGGenerator.decode_with_flow)
-        reg_vars = self.region_predictor.init(r2, img)
-        bg_vars = self.bg_predictor.init(r3, img, img)
-        rp = self.region_predictor.apply(reg_vars, img)
-        flow_vars = self.flow_predictor.init(r4, img, rp, rp, jnp.eye(3)[None])
-        return {"generator": gen_vars, "region_predictor": reg_vars,
-                "bg_predictor": bg_vars, "pixelwise_flow_predictor": flow_vars}
+        @jax.jit
+        def _init(rng):
+            r1, r2, r3, r4 = jax.random.split(rng, 4)
+            img = jnp.zeros((1, img_size, img_size, 3))
+            gen_vars = self.generator.init(
+                r1, img, jnp.zeros((1, img_size // 4, img_size // 4, 2)),
+                jnp.zeros((1, img_size // 4, img_size // 4, 1)),
+                method=LFGGenerator.decode_with_flow)
+            reg_vars = self.region_predictor.init(r2, img)
+            bg_vars = self.bg_predictor.init(r3, img, img)
+            rp = self.region_predictor.apply(reg_vars, img)
+            flow_vars = self.flow_predictor.init(r4, img, rp, rp, jnp.eye(3)[None])
+            return {"generator": gen_vars, "region_predictor": reg_vars,
+                    "bg_predictor": bg_vars, "pixelwise_flow_predictor": flow_vars}
+        return _init(rng)
 
     def motion_transfer(self, variables: Dict[str, Any], source: jax.Array,
                         driving: jax.Array) -> Dict[str, jax.Array]:
