@@ -46,15 +46,13 @@ def main():
     cfg = FlowDiffusionConfig(img_size=args.img_size,
                               sampling_timesteps=args.steps,
                               win_width=40,
-                              attn_mode=args.attn)
+                              attn_mode=args.attn,
+                              dtype=jnp.bfloat16 if args.dtype == "bf16"
+                              else jnp.float32)
     model = FlowDiffusion(cfg)
 
     t0 = time.time()
     variables = model.init_variables(jax.random.PRNGKey(0), num_frames=2)
-    if args.dtype == "bf16":
-        # bf16 activations via bf16 inputs + default matmul precision;
-        # params stay f32 (XLA converts operands per-op)
-        pass
     print(f"init: {time.time()-t0:.1f}s", file=sys.stderr)
 
     b, t, s = 1, args.frames, args.img_size

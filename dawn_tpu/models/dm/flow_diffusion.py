@@ -96,7 +96,8 @@ class FlowDiffusion:
                            dim_mults=tuple(config.dim_mults),
                            cond_pose=config.pose_dim,
                            win_width=config.win_width,
-                           attn_mode=config.attn_mode)
+                           attn_mode=config.attn_mode,
+                           dtype=config.dtype)
         self.diffusion = GaussianDiffusion(
             timesteps=1000,
             sampling_timesteps=config.sampling_timesteps,

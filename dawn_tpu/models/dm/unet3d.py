@@ -23,7 +23,7 @@ Video tensors are (B, T, H, W, C); conditions are (B, T, cond_dim); time is
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,11 +51,16 @@ def l2norm(x: jax.Array) -> jax.Array:
 
 
 class ChanLayerNorm(nn.Module):
-    """Channel LayerNorm with gamma only (reference LayerNorm / LayerNorm_img)."""
+    """Channel LayerNorm with gamma only (reference LayerNorm / LayerNorm_img).
+
+    Statistics are computed in float32 regardless of the activation dtype
+    (bf16-safe), output matches the input dtype.
+    """
     @nn.compact
     def __call__(self, x):
         gamma = self.param("gamma", nn.initializers.ones, (x.shape[-1],))
-        return channel_layer_norm(x, gamma)
+        y = channel_layer_norm(x.astype(jnp.float32), gamma)
+        return y.astype(x.dtype)
 
 
 class VideoGroupNorm(nn.Module):
@@ -74,11 +79,12 @@ class VideoGroupNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
         g = self.num_groups
-        xg = x.reshape(b, t, h, w, g, c // g)
+        xg = x.astype(jnp.float32).reshape(b, t, h, w, g, c // g)
         mean = xg.mean(axis=(1, 2, 3, 5), keepdims=True)
         var = jnp.square(xg - mean).mean(axis=(1, 2, 3, 5), keepdims=True)
         xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return xg.reshape(b, t, h, w, c) * scale + bias
+        y = xg.reshape(b, t, h, w, c) * scale + bias
+        return y.astype(x.dtype)
 
 
 class Block(nn.Module):
@@ -89,17 +95,18 @@ class Block(nn.Module):
     """
     features: int
     groups: int = 8
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, scale_shift: Optional[Tuple[jax.Array, jax.Array]] = None):
         b, t, h, w, c = x.shape
-        y = nn.Conv(self.features, (3, 3), padding=1, name="proj")(
-            x.reshape(b * t, h, w, c))
+        y = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                    name="proj")(x.reshape(b * t, h, w, c))
         y = y.reshape(b, t, h, w, self.features)
         y = VideoGroupNorm(self.groups, name="norm")(y)
         if scale_shift is not None:
             scale, shift = scale_shift
-            y = y * (scale + 1.0) + shift
+            y = y * (scale.astype(y.dtype) + 1.0) + shift.astype(y.dtype)
         return jax.nn.silu(y)
 
 
@@ -116,6 +123,7 @@ class CondCrossAttention(nn.Module):
     dim_head: int = 8
     heads: int = 8
     scale: float = 8.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
@@ -123,8 +131,9 @@ class CondCrossAttention(nn.Module):
         inner = self.dim_head * self.heads
         x = ChanLayerNorm(name="norm")(x)
 
-        q = nn.Dense(inner, use_bias=False, name="to_q")(x)
-        kv = nn.Dense(inner * 2, use_bias=False, name="to_kv")(context)
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        kv = nn.Dense(inner * 2, use_bias=False, dtype=self.dtype,
+                      name="to_kv")(context)
         k, v = jnp.split(kv, 2, axis=-1)
 
         null_kv = self.param("null_kv", nn.initializers.normal(1.0), (2, self.dim_head))
@@ -139,13 +148,14 @@ class CondCrossAttention(nn.Module):
         k = jnp.concatenate([nk, k], axis=1)   # (N, 2, H, D)
         v = jnp.concatenate([nv, v], axis=1)
 
-        q = l2norm(q) * q_scale
-        k = l2norm(k) * k_scale
+        q = (l2norm(q.astype(jnp.float32)) * q_scale).astype(self.dtype)
+        k = (l2norm(k.astype(jnp.float32)) * k_scale).astype(self.dtype)
 
         sim = jnp.einsum("nshd,nkhd->nhsk", q, k) * self.scale
-        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(sim.dtype)
+        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(v.dtype)
         out = jnp.einsum("nhsk,nkhd->nshd", attn, v).reshape(n, s, inner)
-        out = nn.Dense(self.out_dim, use_bias=False, name="to_out")(out)
+        out = nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype,
+                       name="to_out")(out)
         return ChanLayerNorm(name="out_norm")(out)
 
 
@@ -162,6 +172,7 @@ class ResnetBlockCaMul(nn.Module):
     cond_pose: Optional[int] = None
     cond_eye: Optional[int] = None
     groups: int = 8
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, time_emb: Optional[jax.Array] = None,
@@ -178,55 +189,66 @@ class ResnetBlockCaMul(nn.Module):
             aud = cond[..., : self.cond_aud]
             pose = cond[..., self.cond_aud: self.cond_aud + self.cond_pose]
             eye = cond[..., self.cond_aud + self.cond_pose:]
-            aud = nn.Dense(self.features * 2, name="audio_mlp")(jax.nn.silu(aud))
-            pose = nn.Dense(self.features * 2, name="pose_mlp")(jax.nn.silu(pose))
-            eye = nn.Dense(self.features * 2, name="eye_mlp")(jax.nn.silu(eye))
+            aud = nn.Dense(self.features * 2, dtype=self.dtype,
+                           name="audio_mlp")(jax.nn.silu(aud))
+            pose = nn.Dense(self.features * 2, dtype=self.dtype,
+                            name="pose_mlp")(jax.nn.silu(pose))
+            eye = nn.Dense(self.features * 2, dtype=self.dtype,
+                           name="eye_mlp")(jax.nn.silu(eye))
 
             tokens = x.reshape(b * t, h * w, c)
-            ha = CondCrossAttention(self.features, name="cross_attn_aud")(
+            ha = CondCrossAttention(self.features, dtype=self.dtype,
+                                    name="cross_attn_aud")(
                 tokens, aud.reshape(b * t, -1))
-            hp = CondCrossAttention(self.features, name="cross_attn_pose")(
+            hp = CondCrossAttention(self.features, dtype=self.dtype,
+                                    name="cross_attn_pose")(
                 tokens, pose.reshape(b * t, -1))
-            he = CondCrossAttention(self.features, name="cross_attn_eye")(
+            he = CondCrossAttention(self.features, dtype=self.dtype,
+                                    name="cross_attn_eye")(
                 tokens, eye.reshape(b * t, -1))
             h_cond = (ha + hp + he).reshape(b, t, h, w, self.features)
 
-        y = Block(self.features, self.groups, name="block1")(x, scale_shift)
+        y = Block(self.features, self.groups, dtype=self.dtype,
+                  name="block1")(x, scale_shift)
         if h_cond is not None:
-            y = y + h_cond
-        y = Block(self.features, self.groups, name="block2")(y)
+            y = y + h_cond.astype(y.dtype)
+        y = Block(self.features, self.groups, dtype=self.dtype, name="block2")(y)
 
         if c != self.features:
-            res = nn.Conv(self.features, (1, 1), name="res_conv")(x.reshape(b * t, h, w, c))
+            res = nn.Conv(self.features, (1, 1), dtype=self.dtype,
+                          name="res_conv")(x.reshape(b * t, h, w, c))
             res = res.reshape(b, t, h, w, self.features)
         else:
             res = x
-        return y + res
+        return y + res.astype(y.dtype)
 
 
 class SpatialLinearAttention(nn.Module):
     """Per-frame linear attention over spatial tokens (:602-628)."""
     heads: int = 8
     dim_head: int = 32
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         b, t, h, w, c = x.shape
         hidden = self.heads * self.dim_head
         y = x.reshape(b * t, h, w, c)
-        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, name="to_qkv")(y)
+        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="to_qkv")(y)
         q, k, v = jnp.split(qkv.reshape(b * t, h * w, 3 * hidden), 3, axis=-1)
 
         def split_heads(z):
             return z.reshape(b * t, h * w, self.heads, self.dim_head).transpose(0, 2, 3, 1)
 
         q, k, v = map(split_heads, (q, k, v))     # (N, heads, d, hw)
-        q = jax.nn.softmax(q, axis=-2) * (self.dim_head ** -0.5)
-        k = jax.nn.softmax(k, axis=-1)
+        q = (jax.nn.softmax(q.astype(jnp.float32), axis=-2)
+             * (self.dim_head ** -0.5)).astype(self.dtype)
+        k = jax.nn.softmax(k.astype(jnp.float32), axis=-1).astype(self.dtype)
         ctx = jnp.einsum("nhdk,nhek->nhde", k, v)
         out = jnp.einsum("nhde,nhdk->nhek", ctx, q)
         out = out.transpose(0, 3, 1, 2).reshape(b * t, h, w, hidden)
-        out = nn.Conv(c, (1, 1), name="to_out")(out)
+        out = nn.Conv(c, (1, 1), dtype=self.dtype, name="to_out")(out)
         return out.reshape(b, t, h, w, c)
 
 
@@ -247,13 +269,15 @@ class TemporalAttention(nn.Module):
     dim_head: int = 32
     mode: str = "full"
     window: int = 20
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, pos_bias: Optional[jax.Array] = None,
                  bias_vec: Optional[jax.Array] = None) -> jax.Array:
         b, s, t, c = x.shape          # (B, HW, T, C)
         hidden = self.heads * self.dim_head
-        qkv = nn.Dense(hidden * 3, use_bias=False, name="to_qkv")(x)
+        qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype,
+                       name="to_qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def split_heads(z):
@@ -273,28 +297,31 @@ class TemporalAttention(nn.Module):
             out = local_attention(qf, kf, vf, bias_vec, self.window)
             out = out.reshape(b, s, self.heads, t, self.dim_head)
         else:
-            sim = jnp.einsum("bshid,bshjd->bshij", q, k)
+            sim = jnp.einsum("bshid,bshjd->bshij", q, k).astype(jnp.float32)
             if pos_bias is not None:
                 sim = sim + pos_bias
             sim = sim - jax.lax.stop_gradient(sim.max(axis=-1, keepdims=True))
-            attn = jax.nn.softmax(sim, axis=-1)
+            attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
             out = jnp.einsum("bshij,bshjd->bshid", attn, v)
 
         out = out.transpose(0, 1, 3, 2, 4).reshape(b, s, t, hidden)
-        return nn.Dense(c, use_bias=False, name="to_out")(out)
+        return nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_out")(
+            out.astype(self.dtype))
 
 
 class SpatialFullAttention(nn.Module):
     """Full attention over spatial tokens per frame (mid block, :841-843)."""
     heads: int = 8
     dim_head: int = 32
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         b, t, h, w, c = x.shape
         hidden = self.heads * self.dim_head
         y = x.reshape(b * t, h * w, c)
-        qkv = nn.Dense(hidden * 3, use_bias=False, name="to_qkv")(y)
+        qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype,
+                       name="to_qkv")(y)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def split_heads(z):
@@ -302,12 +329,13 @@ class SpatialFullAttention(nn.Module):
 
         q, k, v = map(split_heads, (q, k, v))
         q = q * (self.dim_head ** -0.5)
-        sim = jnp.einsum("nhid,nhjd->nhij", q, k)
+        sim = jnp.einsum("nhid,nhjd->nhij", q, k).astype(jnp.float32)
         sim = sim - jax.lax.stop_gradient(sim.max(axis=-1, keepdims=True))
-        attn = jax.nn.softmax(sim, axis=-1)
+        attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
         out = jnp.einsum("nhij,nhjd->nhid", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b * t, h * w, hidden)
-        out = nn.Dense(c, use_bias=False, name="to_out")(out)
+        out = nn.Dense(c, use_bias=False, dtype=self.dtype,
+                       name="to_out")(out.astype(self.dtype))
         return out.reshape(b, t, h, w, c)
 
 
@@ -317,6 +345,7 @@ class PreNormResidualTemporal(nn.Module):
     dim_head: int
     mode: str
     window: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, pos_bias=None, bias_vec=None):
@@ -324,6 +353,7 @@ class PreNormResidualTemporal(nn.Module):
         y = ChanLayerNorm(name="norm")(x)
         y = y.transpose(0, 2, 3, 1, 4).reshape(b, h * w, t, c)
         y = TemporalAttention(self.heads, self.dim_head, self.mode, self.window,
+                              dtype=self.dtype,
                               name="attn")(y, pos_bias, bias_vec)
         y = y.reshape(b, h, w, t, c).transpose(0, 3, 1, 2, 4)
         return x + y
@@ -331,34 +361,38 @@ class PreNormResidualTemporal(nn.Module):
 
 class PreNormResidualSpatialLinear(nn.Module):
     heads: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         y = ChanLayerNorm(name="norm")(x)
-        y = SpatialLinearAttention(self.heads, name="attn")(y)
+        y = SpatialLinearAttention(self.heads, dtype=self.dtype, name="attn")(y)
         return x + y
 
 
 class PreNormResidualSpatialFull(nn.Module):
     heads: int
     dim_head: int = 32
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         y = ChanLayerNorm(name="norm")(x)
-        y = SpatialFullAttention(self.heads, self.dim_head, name="attn")(y)
+        y = SpatialFullAttention(self.heads, self.dim_head, dtype=self.dtype,
+                                 name="attn")(y)
         return x + y
 
 
 class Downsample(nn.Module):
     """Conv (1,4,4) stride (1,2,2) pad (0,1,1) per frame (:173-175)."""
     features: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         b, t, h, w, c = x.shape
         y = nn.Conv(self.features, (4, 4), strides=(2, 2), padding=1,
-                    name="conv")(x.reshape(b * t, h, w, c))
+                    dtype=self.dtype, name="conv")(x.reshape(b * t, h, w, c))
         return y.reshape(b, t, h // 2, w // 2, self.features)
 
 
@@ -369,13 +403,16 @@ class Upsample(nn.Module):
     dawn_tpu.ops.convs.conv_transpose2d_torch).
     """
     features: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         b, t, h, w, c = x.shape
         wkern = self.param("kernel", nn.initializers.lecun_normal(), (4, 4, c, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        y = conv_transpose2d_torch(x.reshape(b * t, h, w, c), wkern, bias,
+        y = conv_transpose2d_torch(x.reshape(b * t, h, w, c),
+                                   wkern.astype(self.dtype),
+                                   bias.astype(self.dtype),
                                    stride=2, padding=1)
         return y.reshape(b, t, h * 2, w * 2, self.features)
 
@@ -399,6 +436,8 @@ class Unet3D(nn.Module):
     resnet_groups: int = 8
     init_kernel_size: int = 7
     attn_mode: str = "full"          # 'full' | 'local'
+    dtype: Any = jnp.float32         # compute dtype (params stay float32);
+                                     # bfloat16 keeps norm/softmax stats in f32
 
     @property
     def cond_dim(self) -> int:
@@ -419,9 +458,13 @@ class Unet3D(nn.Module):
         """
         b, t, h, w, _ = x.shape
         heads = self.attn_heads
+        in_dtype = x.dtype
+        x = x.astype(self.dtype)
 
         if cond is not None and cond_drop_mask is not None:
             cond = jnp.where(cond_drop_mask[..., None], jnp.zeros_like(cond), cond)
+        if cond is not None:
+            cond = cond.astype(self.dtype)
 
         # T5 relative-position bias (+/- window mask), shared by all temporal attns
         bias_emb = self.param("time_rel_pos_bias",
@@ -441,12 +484,14 @@ class Unet3D(nn.Module):
 
         iks = self.init_kernel_size
         x2d = x.reshape(b * t, h, w, -1)
-        x2d = nn.Conv(self.dim, (iks, iks), padding=iks // 2, name="init_conv")(x2d)
+        x2d = nn.Conv(self.dim, (iks, iks), padding=iks // 2, dtype=self.dtype,
+                      name="init_conv")(x2d)
         x = x2d.reshape(b, t, h, w, self.dim)
         r = x
 
         x = PreNormResidualTemporal(heads, self.attn_dim_head, self.attn_mode,
-                                    self.win_width, name="init_temporal_attn")(
+                                    self.win_width, dtype=self.dtype,
+                                    name="init_temporal_attn")(
             x, pos_bias, bias_vec)
 
         time_dim = self.dim * 4
@@ -460,7 +505,7 @@ class Unet3D(nn.Module):
 
         cond_kw = dict(time_emb_dim=time_dim, cond_aud=self.cond_aud,
                        cond_pose=self.cond_pose, cond_eye=self.cond_eye,
-                       groups=self.resnet_groups)
+                       groups=self.resnet_groups, dtype=self.dtype)
 
         hs = []
         for ind, (_, dim_out) in enumerate(in_out):
@@ -468,19 +513,24 @@ class Unet3D(nn.Module):
             x = ResnetBlockCaMul(dim_out, **cond_kw, name=f"down_{ind}_block1")(x, temb, cond)
             x = ResnetBlockCaMul(dim_out, **cond_kw, name=f"down_{ind}_block2")(x, temb, cond)
             if self.use_sparse_linear_attn:
-                x = PreNormResidualSpatialLinear(heads, name=f"down_{ind}_spatial")(x)
+                x = PreNormResidualSpatialLinear(heads, dtype=self.dtype,
+                                                 name=f"down_{ind}_spatial")(x)
             x = PreNormResidualTemporal(heads, self.attn_dim_head, self.attn_mode,
-                                        self.win_width, name=f"down_{ind}_temporal")(
+                                        self.win_width, dtype=self.dtype,
+                                        name=f"down_{ind}_temporal")(
                 x, pos_bias, bias_vec)
             hs.append(x)
             if not is_last:
-                x = Downsample(dim_out, name=f"down_{ind}_downsample")(x)
+                x = Downsample(dim_out, dtype=self.dtype,
+                               name=f"down_{ind}_downsample")(x)
 
         mid_dim = dims[-1]
         x = ResnetBlockCaMul(mid_dim, **cond_kw, name="mid_block1")(x, temb, cond)
-        x = PreNormResidualSpatialFull(heads, name="mid_spatial_attn")(x)
+        x = PreNormResidualSpatialFull(heads, dtype=self.dtype,
+                                       name="mid_spatial_attn")(x)
         x = PreNormResidualTemporal(heads, self.attn_dim_head, self.attn_mode,
-                                    self.win_width, name="mid_temporal_attn")(
+                                    self.win_width, dtype=self.dtype,
+                                    name="mid_temporal_attn")(
             x, pos_bias, bias_vec)
         x = ResnetBlockCaMul(mid_dim, **cond_kw, name="mid_block2")(x, temb, cond)
 
@@ -490,20 +540,22 @@ class Unet3D(nn.Module):
             x = ResnetBlockCaMul(dim_in, **cond_kw, name=f"up_{ind}_block1")(x, temb, cond)
             x = ResnetBlockCaMul(dim_in, **cond_kw, name=f"up_{ind}_block2")(x, temb, cond)
             if self.use_sparse_linear_attn:
-                x = PreNormResidualSpatialLinear(heads, name=f"up_{ind}_spatial")(x)
+                x = PreNormResidualSpatialLinear(heads, dtype=self.dtype,
+                                                 name=f"up_{ind}_spatial")(x)
             x = PreNormResidualTemporal(heads, self.attn_dim_head, self.attn_mode,
-                                        self.win_width, name=f"up_{ind}_temporal")(
+                                        self.win_width, dtype=self.dtype,
+                                        name=f"up_{ind}_temporal")(
                 x, pos_bias, bias_vec)
             if not is_last:
-                x = Upsample(dim_in, name=f"up_{ind}_upsample")(x)
+                x = Upsample(dim_in, dtype=self.dtype, name=f"up_{ind}_upsample")(x)
 
         x = jnp.concatenate([x, r], axis=-1)
         flow = ResnetBlockCaMul(self.dim, groups=self.resnet_groups,
-                                name="final_block")(x)
+                                dtype=self.dtype, name="final_block")(x)
         flow = nn.Conv(self.out_grid_dim, (1, 1), name="final_conv")(
             flow.reshape(b * t, h, w, -1)).reshape(b, t, h, w, self.out_grid_dim)
         occ = ResnetBlockCaMul(self.dim, groups=self.resnet_groups,
-                               name="occlusion_block")(x)
+                               dtype=self.dtype, name="occlusion_block")(x)
         occ = nn.Conv(self.out_conf_dim, (1, 1), name="occlusion_conv")(
             occ.reshape(b * t, h, w, -1)).reshape(b, t, h, w, self.out_conf_dim)
-        return jnp.concatenate([flow, occ], axis=-1)
+        return jnp.concatenate([flow, occ], axis=-1).astype(in_dtype)

@@ -140,31 +140,37 @@ class CVAE:
 
     # ---------------------------------------------------------------- losses
     def compute_loss(self, batch_out: Dict[str, jax.Array], x_delta: jax.Array,
-                     mask: Optional[jax.Array], epoch: int = 0
+                     mask: Optional[jax.Array], epoch: int = 0,
+                     rng: Optional[jax.Array] = None,
+                     encode_fn=None,
                      ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-        """Mixed loss with KL annealing (cae.py:66-85, losses.py).
+        """Mixed loss with KL annealing (cae.py:66-85).
 
-        rc: MSE on Δpose; kl: gaussian KL (annealed: 0 before epoch 1e4, then
-        linear ramp); reg: temporal smoothness MSE(x_t, x_{t+1}).
+        Every loss name from the reference registry (losses.py `_matching_`:
+        rc, rcw, reg, kl, ssim, var, mmd, hp) is supported via
+        ``dawn_tpu.models.pbnet.losses``. KL is annealed: zero before epoch
+        1e4, linear ramp to 1 over the next 1e4 epochs (cae.py:72-76).
+        ``mmd``/``hp`` need ``rng``; ``hp`` additionally needs ``encode_fn``
+        (x -> latent, the reference's model.return_latent).
         """
+        from dawn_tpu.models.pbnet import losses as L
+
         hp = self.hp
         out = batch_out["output"]
         m = jnp.ones(out.shape[:2], out.dtype) if mask is None else mask.astype(out.dtype)
-        denom = jnp.maximum(m.sum(), 1.0)
 
         losses = {}
-        if "rc" in hp.lambdas:
-            losses["rc"] = (jnp.square(out - x_delta) * m[..., None]).sum() / (
-                denom * out.shape[-1])
-        if "reg" in hp.lambdas:
-            d = out[:, 1:] - out[:, :-1]
-            losses["reg"] = (jnp.square(d) * m[:, 1:, None]).sum() / (
-                jnp.maximum(m[:, 1:].sum(), 1.0) * out.shape[-1])
-        if "kl" in hp.lambdas:
-            mu, logvar = batch_out["mu"], batch_out["logvar"]
-            kl = -0.5 * (1 + logvar - jnp.square(mu) - jnp.exp(logvar))
-            anneal = np.clip((epoch - 1e4) / 1e4, 0.0, 1.0) if epoch < 2e4 else 1.0
-            losses["kl"] = anneal * (kl * m[..., None]).sum() / denom
+        for name in hp.lambdas:
+            if name == "kl":
+                anneal = float(np.clip((epoch - 1e4) / 1e4, 0.0, 1.0))
+                losses["kl"] = anneal * L.kl_loss(
+                    batch_out["mu"], batch_out["logvar"], m)
+            elif name == "mmd":
+                losses["mmd"] = L.mmd_loss(batch_out["z"], rng)
+            elif name == "hp":
+                losses["hp"] = L.hessian_penalty(rng, encode_fn, x_delta)
+            else:
+                losses[name] = L.get_loss_function(name)(out, x_delta, m)
         mixed = sum(hp.lambdas[k] * v for k, v in losses.items())
         losses["mixed"] = mixed
         return mixed, losses

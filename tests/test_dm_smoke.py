@@ -51,6 +51,20 @@ class TestUnet3D:
         b = local.apply(params, x, t, cond)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
+    def test_bf16_close_to_f32(self, unet_and_params):
+        """bf16 compute path: params shared with f32, output f32, close."""
+        model, params = unet_and_params
+        model16 = Unet3D(dim=16, dim_mults=(1, 2), channels=CH, cond_pose=6,
+                         win_width=2, dtype=jnp.bfloat16)
+        x = jnp.asarray(np.random.RandomState(0).randn(B, T, H, W, CH), jnp.float32)
+        cond = jnp.asarray(np.random.RandomState(1).randn(B, T, 1032), jnp.float32)
+        ref = model.apply(params, x, jnp.asarray([3]), cond)
+        out = model16.apply(params, x, jnp.asarray([3]), cond)
+        assert out.dtype == jnp.float32
+        err = np.abs(np.asarray(out) - np.asarray(ref)).mean()
+        scale = np.abs(np.asarray(ref)).mean()
+        assert err < 0.05 * scale + 1e-2, (err, scale)
+
     def test_cond_drop_null(self, unet_and_params):
         """all-True drop mask == zero condition (learn_null_cond=False)."""
         model, params = unet_and_params

@@ -85,3 +85,103 @@ class TestPBnetParity:
                            jnp.asarray(mask))
         err = np.abs(np.asarray(got) - ref.numpy()).max()
         assert err < 2e-4, f"PBnet decoder parity err {err}"
+
+
+class TestLossParity:
+    """dawn_tpu.models.pbnet.losses vs PBnet/src/models/tools/losses.py."""
+
+    def _batch(self, d=6, b=2, t=12, seed=0):
+        rng = np.random.RandomState(seed)
+        x_delta = rng.randn(b, t, d).astype(np.float32)
+        out = rng.randn(b, t, d).astype(np.float32)
+        mask = np.ones((b, t), bool)
+        return x_delta, out, mask
+
+    def test_rc(self):
+        from src.models.tools import losses as tl
+        from dawn_tpu.models.pbnet import losses as jl
+        x_delta, out, mask = self._batch()
+        batch = {"x_delta": torch.from_numpy(x_delta),
+                 "output": torch.from_numpy(out),
+                 "mask": torch.from_numpy(mask)}
+        ref = tl.compute_rc_loss(None, batch).item()
+        got = float(jl.rc_loss(jnp.asarray(out), jnp.asarray(x_delta),
+                               jnp.asarray(mask, jnp.float32)))
+        assert abs(ref - got) < 1e-5
+
+    @pytest.mark.parametrize("d", [6, 7, 8, 5])
+    def test_rcw(self, d, monkeypatch):
+        from src.models.tools import losses as tl
+        from dawn_tpu.models.pbnet import losses as jl
+        # the reference hardcodes .cuda(); run on CPU
+        monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+        x_delta, out, mask = self._batch(d=d)
+        batch = {"x": torch.from_numpy(x_delta),
+                 "x_delta": torch.from_numpy(x_delta),
+                 "output": torch.from_numpy(out),
+                 "mask": torch.from_numpy(mask)}
+        ref = tl.compute_rc_weight_loss(None, batch).item()
+        got = float(jl.rcw_loss(jnp.asarray(out), jnp.asarray(x_delta),
+                                jnp.asarray(mask, jnp.float32)))
+        assert abs(ref - got) < 1e-4 * max(1.0, abs(ref))
+
+    def test_kl(self):
+        from src.models.tools import losses as tl
+        from dawn_tpu.models.pbnet import losses as jl
+        rng = np.random.RandomState(1)
+        mu = rng.randn(2, 12, 16).astype(np.float32)
+        logvar = rng.randn(2, 12, 16).astype(np.float32) * 0.3
+        batch = {"mu": torch.from_numpy(mu), "logvar": torch.from_numpy(logvar)}
+        ref = tl.compute_kl_loss(None, batch).item()
+        got = float(jl.kl_loss(jnp.asarray(mu), jnp.asarray(logvar),
+                               jnp.ones((2, 12), jnp.float32)))
+        assert abs(ref - got) < 1e-5
+
+    def test_ssim(self):
+        from src.models.tools import losses as tl
+        from dawn_tpu.models.pbnet import losses as jl
+        x_delta, out, mask = self._batch(t=20)
+        batch = {"x": torch.from_numpy(x_delta),
+                 "x_delta": torch.from_numpy(x_delta),
+                 "output": torch.from_numpy(out),
+                 "mask": torch.from_numpy(mask)}
+        ref = tl.compute_ssim_loss(None, batch).item()
+        got = float(jl.ssim_loss(jnp.asarray(out), jnp.asarray(x_delta),
+                                 jnp.asarray(mask, jnp.float32)))
+        assert abs(ref - got) < 1e-4
+
+    def test_var(self):
+        from src.models.tools import losses as tl
+        from dawn_tpu.models.pbnet import losses as jl
+        x_delta, out, mask = self._batch(seed=3)
+        out = out * 0.5  # keep variance inside the (0, 3) window
+        batch = {"output": torch.from_numpy(out),
+                 "mask": torch.from_numpy(mask)}
+        ref = tl.comput_var_loss(None, batch).item()
+        got = float(jl.var_loss(jnp.asarray(out), None,
+                                jnp.asarray(mask, jnp.float32)))
+        assert abs(ref - got) < 1e-5
+
+    def test_mmd_kernel(self):
+        from src.models.tools.mmd import compute_mmd
+        from dawn_tpu.models.pbnet.losses import _mmd_kernel
+        rng = np.random.RandomState(4)
+        x = rng.randn(16, 8).astype(np.float32)
+        y = rng.randn(16, 8).astype(np.float32)
+        ref = compute_mmd(torch.from_numpy(x), torch.from_numpy(y)).item()
+        xj, yj = jnp.asarray(x), jnp.asarray(y)
+        got = float(_mmd_kernel(xj, xj).mean() + _mmd_kernel(yj, yj).mean()
+                    - 2 * _mmd_kernel(xj, yj).mean())
+        assert abs(ref - got) < 1e-5
+
+    def test_hessian_penalty_analytic(self):
+        """hp == 0 for any linear map; > 0 for an entangled quadratic."""
+        import jax
+        from dawn_tpu.models.pbnet.losses import hessian_penalty
+        rng = jax.random.PRNGKey(0)
+        x = jnp.asarray(np.random.RandomState(5).randn(2, 4, 3), jnp.float32)
+        lin = hessian_penalty(rng, lambda z: 3.0 * z + 1.0, x)
+        assert abs(float(lin)) < 1e-3
+        quad = hessian_penalty(
+            rng, lambda z: z[..., :1] * z[..., 1:2], x, k=8)
+        assert float(quad) > 1e-3
