@@ -150,3 +150,137 @@ class DecoderTransformerReemb6(nn.Module):
         if mask is not None:
             out = out * mask[..., None]
         return out
+
+
+# --------------------------------------------------------------------------
+# Ablation architectures from the reference registry (get_model.py:16).
+# The upstream gru.py / fc.py are ACTOR leftovers built around action-class
+# conditioning and a sequence-level latent; here they are adapted to DAWN's
+# audio-conditioned per-frame-latent CVAE contract (same (x, z, y, mask)
+# interface as the reemb family) so the factory can instantiate every
+# registered archiname.
+# --------------------------------------------------------------------------
+
+
+class EncoderGRU(nn.Module):
+    """GRU posterior (reference gru.py:41-93, audio-conditioned variant)."""
+    pos_dim: int = 6
+    audio_dim: int = 1024
+    pose_latent_dim: int = 64
+    audio_latent_dim: int = 256
+    num_layers: int = 2
+    deterministic: bool = True
+    dropout: float = 0.0
+    num_heads: int = 4     # unused; keeps the factory kwargs uniform
+    ff_size: int = 128     # unused
+
+    @nn.compact
+    def __call__(self, x, y, mask=None):
+        b, t, _ = x.shape
+        dx = x - x[:, :1]
+        ref = jnp.broadcast_to(
+            nn.Dense(self.pose_latent_dim, name="firstposeEmbedding")(x[:, :1]),
+            (b, t, self.pose_latent_dim))
+        h = jnp.concatenate([
+            ref,
+            nn.Dense(self.pose_latent_dim, name="poseEmbedding")(dx),
+            nn.Dense(self.audio_latent_dim, name="audioEmbedding")(y)], -1)
+        h = nn.Dense(self.audio_latent_dim, name="feats_embedding")(h)
+        for i in range(self.num_layers):
+            h = nn.RNN(nn.GRUCell(self.audio_latent_dim), name=f"gru_{i}")(h)
+        return {"mu": nn.Dense(self.audio_latent_dim, name="mu_layer")(h),
+                "logvar": nn.Dense(self.audio_latent_dim, name="sigma_layer")(h),
+                "x_delta": dx}
+
+
+class DecoderGRU(nn.Module):
+    """GRU decoder (reference gru.py:95-160, audio-conditioned variant)."""
+    pos_dim: int = 6
+    audio_dim: int = 1024
+    pose_latent_dim: int = 64
+    audio_latent_dim: int = 256
+    num_layers: int = 2
+    deterministic: bool = True
+    dropout: float = 0.0
+    num_heads: int = 4
+    ff_size: int = 128
+    num_buckets: int = 32
+    max_distance: int = 32
+    eval_window: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x, z, y, mask=None):
+        b, t, _ = y.shape
+        ref = jnp.broadcast_to(
+            nn.Dense(self.pose_latent_dim, name="firstposeEmbedding")(x[:, :1]),
+            (b, t, self.pose_latent_dim))
+        h = jnp.concatenate(
+            [ref, z, nn.Dense(self.audio_latent_dim, name="audioEmbedding")(y)], -1)
+        h = nn.Dense(self.audio_latent_dim, name="feats_embedding")(h)
+        for i in range(self.num_layers):
+            h = nn.RNN(nn.GRUCell(self.audio_latent_dim), name=f"gru_{i}")(h)
+        out = nn.Dense(self.pos_dim, name="final_layer")(h)
+        if mask is not None:
+            out = out * mask[..., None]
+        return out
+
+
+class EncoderFC(nn.Module):
+    """Per-frame MLP posterior (reference fc.py:6-55, per-frame variant)."""
+    pos_dim: int = 6
+    audio_dim: int = 1024
+    pose_latent_dim: int = 64
+    audio_latent_dim: int = 256
+    num_layers: int = 2
+    deterministic: bool = True
+    dropout: float = 0.0
+    num_heads: int = 4
+    ff_size: int = 128
+
+    @nn.compact
+    def __call__(self, x, y, mask=None):
+        b, t, _ = x.shape
+        dx = x - x[:, :1]
+        ref = jnp.broadcast_to(
+            nn.Dense(self.pose_latent_dim, name="firstposeEmbedding")(x[:, :1]),
+            (b, t, self.pose_latent_dim))
+        h = jnp.concatenate([
+            ref,
+            nn.Dense(self.pose_latent_dim, name="poseEmbedding")(dx),
+            nn.Dense(self.audio_latent_dim, name="audioEmbedding")(y)], -1)
+        h = nn.gelu(nn.Dense(512, name="fc1")(h), approximate=False)
+        h = nn.gelu(nn.Dense(256, name="fc2")(h), approximate=False)
+        return {"mu": nn.Dense(self.audio_latent_dim, name="mu_layer")(h),
+                "logvar": nn.Dense(self.audio_latent_dim, name="sigma_layer")(h),
+                "x_delta": dx}
+
+
+class DecoderFC(nn.Module):
+    """Per-frame MLP decoder (reference fc.py:57-105, per-frame variant)."""
+    pos_dim: int = 6
+    audio_dim: int = 1024
+    pose_latent_dim: int = 64
+    audio_latent_dim: int = 256
+    num_layers: int = 2
+    deterministic: bool = True
+    dropout: float = 0.0
+    num_heads: int = 4
+    ff_size: int = 128
+    num_buckets: int = 32
+    max_distance: int = 32
+    eval_window: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x, z, y, mask=None):
+        b, t, _ = y.shape
+        ref = jnp.broadcast_to(
+            nn.Dense(self.pose_latent_dim, name="firstposeEmbedding")(x[:, :1]),
+            (b, t, self.pose_latent_dim))
+        h = jnp.concatenate(
+            [ref, z, nn.Dense(self.audio_latent_dim, name="audioEmbedding")(y)], -1)
+        h = nn.gelu(nn.Dense(256, name="fc1")(h), approximate=False)
+        h = nn.gelu(nn.Dense(512, name="fc2")(h), approximate=False)
+        out = nn.Dense(self.pos_dim, name="final_layer")(h)
+        if mask is not None:
+            out = out * mask[..., None]
+        return out

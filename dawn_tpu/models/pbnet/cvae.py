@@ -17,13 +17,42 @@ import jax.numpy as jnp
 import numpy as np
 
 from dawn_tpu.models.pbnet.architectures import (
-    DecoderTransformerReemb6, EncoderTransformerReemb6,
+    DecoderFC, DecoderGRU, DecoderTransformerReemb6,
+    EncoderFC, EncoderGRU, EncoderTransformerReemb6,
 )
 
-# the reference registry (get_model.py:16); the reemb5/6 family is what the
-# released checkpoints use — other names resolve to reemb6-compatible builds
+# the reference registry (get_model.py:16). The reemb5/6 family is what the
+# released checkpoints use: reemb5 = joint pose+eye with a ±200 eval window,
+# reemb6 = separate pose / blink with a ±100 window; reemb7/8 (whose modules
+# are absent from the reference repo — the shipped run script names reemb8,
+# run_cvae_h_ann_reemb_rope_eye_3.sh:17) resolve to reemb6-compatible builds.
+# 'gru' / 'fc' are the ablation alternatives, adapted to the audio interface.
 ARCHINAMES = ("transformerreemb5", "transformerreemb6", "transformerreemb7",
-              "transformerreemb8")
+              "transformerreemb8", "gru", "fc")
+MODELTYPES = ("cae", "cvae")
+
+# archiname -> (encoder cls, decoder cls, eval-time attention window)
+_ARCH_TABLE = {
+    "transformerreemb5": (EncoderTransformerReemb6, DecoderTransformerReemb6, 200),
+    "transformerreemb6": (EncoderTransformerReemb6, DecoderTransformerReemb6, 100),
+    "transformerreemb7": (EncoderTransformerReemb6, DecoderTransformerReemb6, 100),
+    "transformerreemb8": (EncoderTransformerReemb6, DecoderTransformerReemb6, 100),
+    "gru": (EncoderGRU, DecoderGRU, None),
+    "fc": (EncoderFC, DecoderFC, None),
+}
+
+
+def parse_modelname(modelname: str):
+    """'{modeltype}_{archiname}_{loss1}_{loss2}...' -> parts
+    (parser/model.py:30-44)."""
+    modeltype, archiname, *losses = modelname.split("_")
+    if modeltype not in MODELTYPES:
+        raise NotImplementedError(f"model type {modeltype!r}")
+    if archiname not in ARCHINAMES:
+        raise NotImplementedError(f"architecture {archiname!r}")
+    if not losses:
+        raise NotImplementedError("at least one loss is required")
+    return modeltype, archiname, losses
 
 
 @dataclasses.dataclass
@@ -87,15 +116,16 @@ class CVAE:
         if params.archiname not in ARCHINAMES:
             raise NotImplementedError(params.archiname)
         self.hp = params
+        enc_cls, dec_cls, eval_window = _ARCH_TABLE[params.archiname]
         kw = dict(pos_dim=params.feature_dim, audio_dim=params.audio_dim,
                   pose_latent_dim=params.pose_latent_dim,
                   audio_latent_dim=params.latent_dim, ff_size=params.ff_size,
                   num_layers=params.num_layers, num_heads=params.num_heads,
                   dropout=params.dropout, deterministic=deterministic)
-        self.encoder = EncoderTransformerReemb6(**kw)
-        self.decoder = DecoderTransformerReemb6(
+        self.encoder = enc_cls(**kw)
+        self.decoder = dec_cls(
             num_buckets=params.num_buckets, max_distance=params.max_distance,
-            **kw)
+            eval_window=eval_window, **kw)
 
     def init_variables(self, rng: jax.Array, num_frames: int = 8) -> Dict[str, Any]:
         r1, r2 = jax.random.split(rng)
@@ -179,3 +209,21 @@ class CVAE:
 def build_pbnet(opt: Mapping[str, Any], deterministic: bool = True) -> CVAE:
     """Factory mirroring get_model.py: opt.yaml dict -> CVAE instance."""
     return CVAE(PBnetParams.from_opt(opt), deterministic=deterministic)
+
+
+def get_model(parameters: Mapping[str, Any], deterministic: bool = True) -> CVAE:
+    """Reference get_model parity (get_model.py:19-35): a parameters dict
+    carrying ``modelname`` (e.g. 'cvae_transformerreemb6_rc_kl_reg') plus
+    hyperparameters; loss weights come from ``lambda_<loss>`` keys (default 1,
+    reg 0.1 — parser/model.py:8-13)."""
+    parameters = dict(parameters)
+    if "modelname" in parameters:
+        modeltype, archiname, losses = parse_modelname(parameters["modelname"])
+        if modeltype != "cvae":
+            raise NotImplementedError("only the cvae modeltype is deployed")
+        parameters["archiname"] = archiname
+        parameters.setdefault("lambdas", {
+            loss: float(parameters.get(
+                f"lambda_{loss}", 0.1 if loss == "reg" else 1.0))
+            for loss in losses})
+    return build_pbnet(parameters, deterministic=deterministic)

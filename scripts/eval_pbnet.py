@@ -1,0 +1,105 @@
+"""PBnet evaluation driver — the evaluate_cvae_norm_eye_pose pipeline.
+
+Capability parity with PBnet/src/evaluate/evaluate_cvae_norm_eye_pose.py +
+tvae_eval_norm_eye_pose.py: for each seed in range(niter), generate drives for
+every held-out HDTF video, dump generated and ground-truth sequences under
+<workdir>/eval_pred/<seed>/ and <workdir>/eval_gt/<seed>/ (the layout the
+reference's tables/ post-processing consumes), then compute the ACTOR metric
+set on raw motion features — Frechet distance (action2motion/fid.py),
+diversity (diversity.py), temporal smoothness and L1 — and write metrics.json.
+
+The reference's STGCN branch (stgcn/evaluate.py) scores SMPL body motions
+with a UESTC-pretrained recognizer; it does not apply to DAWN's 6-d head pose
+and is not reimplemented — the DAWN-side eval scripts only dump sequences.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True, help="PBnet .pth.tar (opt.yaml sibling)")
+    ap.add_argument("--kind", default="pose", choices=["pose", "blink", "both"])
+    ap.add_argument("--hubert-dir", required=True)
+    ap.add_argument("--pose-dir", required=True)
+    ap.add_argument("--eye-dir", required=True)
+    ap.add_argument("--length-dict", required=True)
+    ap.add_argument("--workdir", default="runs/pbnet_eval")
+    ap.add_argument("--niter", type=int, default=3)
+    ap.add_argument("--num-frames", type=int, default=100)
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from dawn_tpu.train.data import PBnetPoseDataset
+    from dawn_tpu.pipeline.pose_blink import load_pbnet_with_opt, MAX_VALS_8, MIN_VALS_8
+    from dawn_tpu.evaluate.metrics import (
+        frechet_distance, diversity, temporal_smoothness, l1_reconstruction)
+
+    dims = {"pose": (6, 0), "blink": (2, 0), "both": (6, 2)}[args.kind]
+    model, variables = load_pbnet_with_opt(args.ckpt, *dims)
+
+    dataset = PBnetPoseDataset(args.hubert_dir, args.pose_dir, args.eye_dir,
+                               args.length_dict, mode="test",
+                               num_frames=args.num_frames)
+    print(f"test videos: {len(dataset.names)}")
+
+    metrics_all = {}
+    for seed in range(args.niter):
+        pred_dir = os.path.join(args.workdir, "eval_pred", str(seed))
+        gt_dir = os.path.join(args.workdir, "eval_gt", str(seed))
+        os.makedirs(pred_dir, exist_ok=True)
+        os.makedirs(gt_dir, exist_ok=True)
+
+        preds, gts = [], []
+        rng = jax.random.PRNGKey(seed)
+        for idx in range(len(dataset.names)):
+            s = dataset.sample(idx)
+            if args.kind == "pose":
+                gt = s["pose"]
+            elif args.kind == "blink":
+                gt = s["eye"]
+            else:
+                gt = np.concatenate([s["pose"], s["eye"]], -1)
+            rng, r = jax.random.split(rng)
+            out = np.asarray(model.generate(
+                variables, r, jnp.asarray(gt[None, 0]),
+                jnp.asarray(s["hubert"][None])))[0]
+            pred = out + gt[0]
+            np.save(os.path.join(pred_dir, s["name"]), pred)
+            np.save(os.path.join(gt_dir, s["name"]), gt)
+            preds.append(pred)
+            gts.append(gt)
+
+        # raw-motion-feature statistics: mean over frames per sequence
+        fp = np.stack([p.mean(0) for p in preds])
+        fg = np.stack([g.mean(0) for g in gts])
+        m = {
+            "fid": float(frechet_distance(fp, fg)),
+            "diversity_pred": float(diversity(fp)),
+            "diversity_gt": float(diversity(fg)),
+            "smoothness_pred": float(np.mean(
+                [temporal_smoothness(p) for p in preds])),
+            "smoothness_gt": float(np.mean(
+                [temporal_smoothness(g) for g in gts])),
+            "l1": float(np.mean([l1_reconstruction(p, g)
+                                 for p, g in zip(preds, gts)])),
+        }
+        metrics_all[seed] = m
+        print(f"seed {seed}: " + " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+
+    path = os.path.join(args.workdir, "metrics.json")
+    with open(path, "w") as f:
+        json.dump(metrics_all, f, indent=2)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
