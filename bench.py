@@ -30,7 +30,10 @@ def main():
     ap.add_argument("--frames", type=int, default=200)
     ap.add_argument("--img-size", type=int, default=128)
     ap.add_argument("--steps", type=int, default=20)
-    ap.add_argument("--attn", default="local", choices=["full", "local"])
+    ap.add_argument("--attn", default="full", choices=["full", "local"],
+                    help="full = windowed full attention (the reference's "
+                         "inference default, fastest at T<=200); local = "
+                         "linear-memory banded attention for long videos")
     ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()

@@ -197,13 +197,13 @@ class FlowDiffusion:
 
         out = {"sample_vid_grid": grid, "sample_vid_conf": conf}
 
-        # batched LFG decode of all frames (vs the reference's per-frame loop)
-        assert b == 1, "batched multi-identity decode handled by vmap in pipeline"
+        # batched LFG decode: each identity encoded once, all (B, T) frames
+        # decoded as one conv program (vs the reference's per-frame loop)
         dec = self.generator.apply(variables["generator"], sample_img,
-                                   grid[0], conf[0],
-                                   method=LFGGenerator.decode_with_flow)
-        out["sample_out_vid"] = dec["prediction"][None]    # (1, T, H, W, 3)
-        out["sample_warped_vid"] = dec["deformed"][None]
+                                   grid, conf,
+                                   method=LFGGenerator.decode_with_flow_batched)
+        out["sample_out_vid"] = dec["prediction"]          # (B, T, H, W, 3)
+        out["sample_warped_vid"] = dec["deformed"]
         return out
 
     def make_sampler(self, cond_scale: float = 1.0):
@@ -213,3 +213,23 @@ class FlowDiffusion:
                        init_pose, init_eye:
                        fn(variables, rng, img, aud, pose, eye, bbox,
                           init_pose=init_pose, init_eye=init_eye))
+
+    def make_batch_sampler(self, mesh, cond_scale: float = 1.0):
+        """Multi-identity batched sampler pjit over a device mesh.
+
+        Batch axis sharded over 'data' (BASELINE config #5: batched
+        generation on a v5e pod slice); weights replicated. Every input
+        gains a leading batch axis; returns the same dict with (B, T, ...)
+        leaves.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        dat = NamedSharding(mesh, P("data"))
+        fn = functools.partial(self.sample_one_video, cond_scale=cond_scale)
+        return jax.jit(
+            lambda variables, rng, img, aud, pose, eye, bbox, init_pose,
+            init_eye: fn(variables, rng, img, aud, pose, eye, bbox,
+                         init_pose=init_pose, init_eye=init_eye),
+            in_shardings=(rep, rep, dat, dat, dat, dat, dat, dat, dat),
+        )

@@ -104,6 +104,30 @@ class LFGGenerator(nn.Module):
             source_image = jnp.broadcast_to(source_image, (t,) + source_image.shape[1:])
         return self.decode(source_image, skips, optical_flow, occlusion_map)
 
+    def decode_with_flow_batched(self, source_image: jax.Array,
+                                 optical_flow: jax.Array,
+                                 occlusion_map: jax.Array) -> Dict[str, jax.Array]:
+        """Multi-identity decode: each of B sources encoded ONCE, its skips
+        broadcast over the T frames, all (B*T) frames decoded as one conv
+        program.
+
+        Args:
+          source_image: (B, H, W, 3).
+          optical_flow: (B, T, h, w, 2); occlusion_map: (B, T, h, w, 1).
+        Returns dict of (B, T, ...) tensors.
+        """
+        b, t = optical_flow.shape[:2]
+        hh, ww = source_image.shape[1:3]
+        skips = self.encode(source_image)
+        skips = [jnp.broadcast_to(s[:, None], (b, t) + s.shape[1:]).reshape(
+            (b * t,) + s.shape[1:]) for s in skips]
+        src = jnp.broadcast_to(source_image[:, None],
+                               (b, t, hh, ww, 3)).reshape(b * t, hh, ww, 3)
+        out = self.decode(src, skips,
+                          optical_flow.reshape((b * t,) + optical_flow.shape[2:]),
+                          occlusion_map.reshape((b * t,) + occlusion_map.shape[2:]))
+        return {k: v.reshape((b, t) + v.shape[1:]) for k, v in out.items()}
+
     def __call__(self, source_image: jax.Array, motion_params: Dict[str, jax.Array],
                  ) -> Dict[str, jax.Array]:
         """Full motion transfer given precomputed motion params.

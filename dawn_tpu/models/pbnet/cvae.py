@@ -27,8 +27,9 @@ from dawn_tpu.models.pbnet.architectures import (
 # are absent from the reference repo — the shipped run script names reemb8,
 # run_cvae_h_ann_reemb_rope_eye_3.sh:17) resolve to reemb6-compatible builds.
 # 'gru' / 'fc' are the ablation alternatives, adapted to the audio interface.
-ARCHINAMES = ("transformerreemb5", "transformerreemb6", "transformerreemb7",
-              "transformerreemb8", "gru", "fc")
+ARCHINAMES = ("fc", "gru", "transformer", "transformerreemb5",
+              "transformerreemb6", "transformerreemb7", "transformerreemb8",
+              "transformermel", "transgru", "grutrans", "autotrans")
 MODELTYPES = ("cae", "cvae")
 
 # archiname -> (encoder cls, decoder cls, eval-time attention window)
@@ -39,6 +40,13 @@ _ARCH_TABLE = {
     "transformerreemb8": (EncoderTransformerReemb6, DecoderTransformerReemb6, 100),
     "gru": (EncoderGRU, DecoderGRU, None),
     "fc": (EncoderFC, DecoderFC, None),
+    # remaining registry names resolve to the nearest implemented family
+    # (the reference's own modules for these are ACTOR leftovers or absent)
+    "transformer": (EncoderTransformerReemb6, DecoderTransformerReemb6, None),
+    "transformermel": (EncoderTransformerReemb6, DecoderTransformerReemb6, None),
+    "autotrans": (EncoderTransformerReemb6, DecoderTransformerReemb6, None),
+    "transgru": (EncoderGRU, DecoderGRU, None),
+    "grutrans": (EncoderGRU, DecoderGRU, None),
 }
 
 
@@ -116,6 +124,7 @@ class CVAE:
         if params.archiname not in ARCHINAMES:
             raise NotImplementedError(params.archiname)
         self.hp = params
+        self.deterministic = deterministic
         enc_cls, dec_cls, eval_window = _ARCH_TABLE[params.archiname]
         kw = dict(pos_dim=params.feature_dim, audio_dim=params.audio_dim,
                   pose_latent_dim=params.pose_latent_dim,
@@ -138,18 +147,25 @@ class CVAE:
         return {"encoder": enc, "decoder": dec}
 
     # ------------------------------------------------------------------ api
-    def encode(self, variables, x, y, mask=None):
-        return self.encoder.apply(variables["encoder"], x, y, mask)
+    def encode(self, variables, x, y, mask=None, dropout_rng=None):
+        rngs = None if dropout_rng is None else {"dropout": dropout_rng}
+        return self.encoder.apply(variables["encoder"], x, y, mask, rngs=rngs)
 
-    def decode(self, variables, x, z, y, mask=None):
-        return self.decoder.apply(variables["decoder"], x, z, y, mask)
+    def decode(self, variables, x, z, y, mask=None, dropout_rng=None):
+        rngs = None if dropout_rng is None else {"dropout": dropout_rng}
+        return self.decoder.apply(variables["decoder"], x, z, y, mask,
+                                  rngs=rngs)
 
     def forward(self, variables, rng, x, y, mask=None):
         """Training forward: encode -> reparameterize -> decode (cvae.py:20-38)."""
-        enc = self.encode(variables, x, y, mask)
+        r_z, r_enc, r_dec = jax.random.split(rng, 3)
+        drop = not self.deterministic
+        enc = self.encode(variables, x, y, mask,
+                          dropout_rng=r_enc if drop else None)
         std = jnp.exp(0.5 * enc["logvar"])
-        z = enc["mu"] + std * jax.random.normal(rng, enc["mu"].shape)
-        out = self.decode(variables, x, z, y, mask)
+        z = enc["mu"] + std * jax.random.normal(r_z, enc["mu"].shape)
+        out = self.decode(variables, x, z, y, mask,
+                          dropout_rng=r_dec if drop else None)
         return {"output": out, "z": z, **enc}
 
     def generate(self, variables, rng, init_state, audio, lengths=None,

@@ -97,96 +97,150 @@ def local_attention_banded(q: jax.Array, k: jax.Array, v: jax.Array,
     return out.reshape(n, h, t_pad, d)[:, :, :t]
 
 
-def _local_attn_kernel(bias_ref, q_ref, k_hbm, v_hbm, o_ref,
-                       k_vmem, v_vmem, sems, *, t: int, bq: int, w_pad: int,
-                       kw: int):
-    """Pallas kernel body for one (sequence*head, query-block) grid step.
+def _tile_bias(heads: int, bq: int, window: int,
+               bias_vec: Optional[jax.Array]) -> jax.Array:
+    """(heads, bq, 3*bq) bias + window mask for key tiles at offsets
+    {-bq, 0, +bq} relative to the query block start: rel = (off + j) - i."""
+    ii = np.arange(bq)[:, None]
+    jj = np.arange(3 * bq)[None, :] - bq
+    rel = jj - ii
+    mask = np.where(np.abs(rel) <= window, 0.0, NEG_INF).astype(np.float32)
+    if bias_vec is None:
+        return jnp.broadcast_to(jnp.asarray(mask)[None], (heads, bq, 3 * bq))
+    idx = jnp.asarray(np.clip(rel + window, 0, 2 * window))
+    return bias_vec[:, idx] + jnp.asarray(mask)[None]
 
-    The overlapping key/value stripe [blk*bq, blk*bq + kw) of the padded
-    sequence is DMA'd from HBM into VMEM scratch (overlap cannot be expressed
-    with BlockSpec partitioning), then the fused QK^T -> +bias -> softmax ->
-    AV chain runs entirely in VMEM.
+
+def _local_attn_tile_kernel(bias_ref, q_ref, kl_ref, kc_ref, kr_ref,
+                            vl_ref, vc_ref, vr_ref, o_ref, *,
+                            t: int, bq: int, nb: int):
+    """Fused QK^T -> +bias/mask -> softmax -> AV over the 3-tile key stripe.
+
+    Grid (n*h, nb). Tiles `l`/`r` are the neighbor key blocks (index maps
+    clamped at the sequence edges, so their contributions are re-masked by
+    block validity and global key position). NOTE: a head-major layout with
+    an `s // n` bias index map (fetch the bias tile once per head) and a
+    5-D G-batched variant both wedge the Mosaic remote compiler in this
+    environment (>15 min); this 4-D form compiles in ~1 min.
     """
     import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
-    s = pl.program_id(0)
-    blk = pl.program_id(1)
+    b = pl.program_id(1)
+    q = q_ref[0, 0]                                # (bq, d)
+    kt = jnp.concatenate([kl_ref[0, 0], kc_ref[0, 0], kr_ref[0, 0]], axis=0)
+    vt = jnp.concatenate([vl_ref[0, 0], vc_ref[0, 0], vr_ref[0, 0]], axis=0)
 
-    kdma = pltpu.make_async_copy(k_hbm.at[s, pl.ds(blk * bq, kw), :],
-                                 k_vmem, sems.at[0])
-    vdma = pltpu.make_async_copy(v_hbm.at[s, pl.ds(blk * bq, kw), :],
-                                 v_vmem, sems.at[1])
-    kdma.start()
-    vdma.start()
+    s = jax.lax.dot_general(q, kt, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (bq, 3bq)
+    s = s + bias_ref[0]
 
-    q = q_ref[0]                      # (bq, d)
-    # key-validity mask: global j = blk*bq - w_pad + jj must lie in [0, T)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (bq, kw), 1)
-    jg = blk * bq - w_pad + jj
+    # validity: global key position of column j is b*bq + (j - bq); must be
+    # a real (unpadded) frame and come from a real (unclamped) neighbor tile
+    jj = jax.lax.broadcasted_iota(jnp.int32, (bq, 3 * bq), 1)
+    jg = b * bq + jj - bq
     valid = (jg >= 0) & (jg < t)
+    valid &= ~((jj < bq) & (b == 0))
+    valid &= ~((jj >= 2 * bq) & (b == nb - 1))
+    s = jnp.where(valid, s, NEG_INF)
 
-    kdma.wait()
-    scores = jnp.dot(q, k_vmem[...].T, preferred_element_type=jnp.float32)
-    scores = scores + bias_ref[0]     # (bq, kw) T5 bias + window mask
-    scores = jnp.where(valid, scores, NEG_INF)
-
-    scores = scores - scores.max(axis=-1, keepdims=True)
-    p = jnp.exp(scores)
+    s = s - s.max(axis=-1, keepdims=True)
+    p = jnp.exp(s)
     p = p / p.sum(axis=-1, keepdims=True)
-    vdma.wait()
-    o_ref[0] = jnp.dot(p.astype(v_vmem.dtype), v_vmem[...],
-                       preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    o_ref[0, 0] = jax.lax.dot_general(
+        p.astype(vt.dtype), vt, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 def local_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
                            bias_vec: Optional[jax.Array], window: int,
                            block_q: int = 128,
                            interpret: bool = False) -> jax.Array:
-    """Pallas TPU sliding-window attention. Same contract as the banded path."""
+    """Pallas TPU sliding-window attention (forward only).
+
+    Blocking: queries in blocks of ``bq >= window``; each grid step loads the
+    query block plus its three key/value tiles (left / center / right
+    neighbor blocks via clamped BlockSpec index maps -- no manual DMA), so
+    the (bq, 3*bq) score stripe lives entirely in VMEM and HBM traffic is
+    linear in T. Head-major layout keeps the per-head bias tile resident
+    across the inner sweep. Numerically identical to
+    ``local_attention_banded``.
+    """
     import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     n, h, t, d = q.shape
-    bq = min(block_q, max(8, t))
+    bq = max(min(block_q, pl.next_power_of_2(t)), window)
     nb = -(-t // bq)
     t_pad = nb * bq
-    w_pad = window
-    kw = bq + 2 * w_pad
 
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, t_pad - t), (0, 0))).reshape(n * h, t_pad, d)
-    kp = jnp.pad(k, ((0, 0), (0, 0), (w_pad, t_pad - t + w_pad), (0, 0))).reshape(
-        n * h, t_pad + 2 * w_pad, d)
-    vp = jnp.pad(v, ((0, 0), (0, 0), (w_pad, t_pad - t + w_pad), (0, 0))).reshape(
-        n * h, t_pad + 2 * w_pad, d)
+    def prep(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - t), (0, 0))).reshape(
+            n * h, nb, bq, d)
 
-    # per-head (bq, kw) bias+mask stripe, identical for every query block
-    bias = _band_bias(h, bq, kw, -w_pad, window, bias_vec)        # (h, bq, kw)
-    bias_full = jnp.broadcast_to(bias[None], (n, h, bq, kw)).reshape(n * h, bq, kw)
+    qp, kp, vp = prep(q), prep(k), prep(v)
+    bias = _tile_bias(h, bq, window, bias_vec)           # (h, bq, 3bq)
+    bias = jnp.broadcast_to(bias[None], (n, h, bq, 3 * bq)).reshape(
+        n * h, bq, 3 * bq)
 
-    kernel = functools.partial(_local_attn_kernel, t=t, bq=bq, w_pad=w_pad, kw=kw)
+    def qmap(s, b):
+        return (s, b, 0, 0)
+
+    def lmap(s, b):
+        return (s, jnp.maximum(b - 1, 0), 0, 0)
+
+    def rmap(s, b):
+        return (s, jnp.minimum(b + 1, nb - 1), 0, 0)
+
+    kv_spec = lambda im: pl.BlockSpec((1, 1, bq, d), im)
+    kernel = functools.partial(_local_attn_tile_kernel, t=t, bq=bq, nb=nb)
     out = pl.pallas_call(
         kernel,
         grid=(n * h, nb),
         in_specs=[
-            pl.BlockSpec((1, bq, kw), lambda s, b: (s, 0, 0)),
-            pl.BlockSpec((1, bq, d), lambda s, b: (s, b, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, bq, 3 * bq), lambda s, b: (s, 0, 0)),
+            kv_spec(qmap),
+            kv_spec(lmap), kv_spec(qmap), kv_spec(rmap),
+            kv_spec(lmap), kv_spec(qmap), kv_spec(rmap),
         ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda s, b: (s, b, 0)),
-        out_shape=jax.ShapeDtypeStruct((n * h, t_pad, d), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((kw, d), q.dtype),
-            pltpu.VMEM((kw, d), q.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_specs=kv_spec(qmap),
+        out_shape=jax.ShapeDtypeStruct((n * h, nb, bq, d), q.dtype),
         interpret=interpret,
-    )(bias_full, qp, kp, vp)
+    )(bias, qp, kp, kp, kp, vp, vp, vp)
     return out.reshape(n, h, t_pad, d)[:, :, :t]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _local_attention_tpu(q, k, v, bias_vec, window):
+    return local_attention_pallas(q, k, v, bias_vec, window)
+
+
+def _local_attention_tpu_fwd(q, k, v, bias_vec, window):
+    return local_attention_pallas(q, k, v, bias_vec, window), (q, k, v, bias_vec)
+
+
+def _local_attention_tpu_bwd(window, res, g):
+    q, k, v, bias_vec = res
+    _, vjp = jax.vjp(lambda q, k, v, b: local_attention_banded(q, k, v, b,
+                                                               window),
+                     q, k, v, bias_vec)
+    return vjp(g)
+
+
+_local_attention_tpu.defvjp(_local_attention_tpu_fwd, _local_attention_tpu_bwd)
+
+
 def local_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                    bias_vec: Optional[jax.Array], window: int) -> jax.Array:
-    """Default dispatch: banded XLA implementation (portable, differentiable)."""
+                    bias_vec: Optional[jax.Array], window: int,
+                    use_pallas: bool = False) -> jax.Array:
+    """Default dispatch.
+
+    The banded XLA path is the default on every backend: on a v5e at DAWN's
+    shapes (n*h=8k sequences of T=200, d=32) it measures FASTER than the
+    fused Pallas kernel (17 vs 24 ms/op, scan-amortized) because the 16k-step
+    Pallas grid's per-step overhead exceeds the HBM saved by keeping the
+    score stripe in VMEM. The Pallas kernel (``use_pallas=True``, TPU only,
+    custom-VJP with banded-recompute backward) wins when the score stripe
+    stops fitting XLA's fusion budget — very long T per sequence.
+    """
+    if use_pallas and jax.default_backend() == "tpu":
+        return _local_attention_tpu(q, k, v, bias_vec, window)
     return local_attention_banded(q, k, v, bias_vec, window)

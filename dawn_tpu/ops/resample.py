@@ -24,10 +24,14 @@ def _gather_2d(img: jax.Array, iy: jax.Array, ix: jax.Array) -> jax.Array:
     return jnp.take_along_axis(flat, idx[..., None], axis=1)
 
 
-def grid_sample(img: jax.Array, grid: jax.Array) -> jax.Array:
-    """Bilinear grid sample, torch ``F.grid_sample`` defaults.
+def grid_sample(img: jax.Array, grid: jax.Array,
+                align_corners: bool = False,
+                padding_mode: str = "zeros") -> jax.Array:
+    """Bilinear grid sample, torch ``F.grid_sample`` semantics.
 
-    (mode='bilinear', padding_mode='zeros', align_corners=False).
+    Defaults match torch's (mode='bilinear', padding_mode='zeros',
+    align_corners=False); ``align_corners=True`` + ``padding_mode='border'``
+    covers the misc.py resample helper (misc.py:116-138).
 
     Args:
       img:  (N, H, W, C)
@@ -41,9 +45,14 @@ def grid_sample(img: jax.Array, grid: jax.Array) -> jax.Array:
     gx = grid[..., 0].reshape(n, -1)
     gy = grid[..., 1].reshape(n, -1)
 
-    # align_corners=False unnormalization: ((coord + 1) * size - 1) / 2
-    fx = ((gx + 1.0) * w - 1.0) * 0.5
-    fy = ((gy + 1.0) * h - 1.0) * 0.5
+    if align_corners:
+        # align_corners=True unnormalization: (coord + 1) / 2 * (size - 1)
+        fx = (gx + 1.0) * 0.5 * (w - 1)
+        fy = (gy + 1.0) * 0.5 * (h - 1)
+    else:
+        # align_corners=False unnormalization: ((coord + 1) * size - 1) / 2
+        fx = ((gx + 1.0) * w - 1.0) * 0.5
+        fy = ((gy + 1.0) * h - 1.0) * 0.5
 
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
@@ -55,11 +64,13 @@ def grid_sample(img: jax.Array, grid: jax.Array) -> jax.Array:
         for dx, wx in ((0, (1.0 - lx)), (1, lx)):
             ix = x0 + dx
             iy = y0 + dy
-            valid = (ix >= 0) & (ix <= w - 1) & (iy >= 0) & (iy <= h - 1)
             ixc = jnp.clip(ix, 0, w - 1).astype(jnp.int32)
             iyc = jnp.clip(iy, 0, h - 1).astype(jnp.int32)
             vals = _gather_2d(img, iyc, ixc)
-            wgt = (wx * wy) * valid.astype(img.dtype)
+            wgt = wx * wy
+            if padding_mode == "zeros":
+                valid = (ix >= 0) & (ix <= w - 1) & (iy >= 0) & (iy <= h - 1)
+                wgt = wgt * valid.astype(img.dtype)
             out = out + vals * wgt[..., None]
     return out.reshape(n, ho, wo, c)
 

@@ -1,0 +1,145 @@
+"""3DDFA-style face visualization: landmarks, pose box, depth, shaded mesh.
+
+Capability parity with the reference's visualization paths —
+extract_init_states/utils/pose.py:140-216 (calc_pose / build_camera_box /
+plot_pose_box / viz_pose), utils/depth.py (z-as-color render) and the
+render.c-based shaded overlay (utils/render_ctypes.py) — with the shaded
+overlay running through this repo's native rasterizer
+(dawn_tpu/runtime/src/render.cpp, the render.c equivalent) and the rest in
+numpy + cv2 line drawing.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from dawn_tpu.models.face3d.pose import P2sRt, matrix2angle
+
+
+def calc_pose(param: np.ndarray) -> Tuple[np.ndarray, list]:
+    """62-d 3DMM param -> (P (3,4) without scale, [yaw, pitch, roll] deg)
+    (pose.py:140-148)."""
+    P = param[:12].reshape(3, -1)
+    s, R, t3d = P2sRt(P)
+    P = np.concatenate((R, t3d.reshape(3, -1)), axis=1)
+    return P, [a * 180.0 / np.pi for a in matrix2angle(R)]
+
+
+def calc_hypotenuse(pts: np.ndarray) -> float:
+    """Face-size scale from the 68 landmarks (tddfa utils)."""
+    bbox = [pts[0, :].min(), pts[1, :].min(), pts[0, :].max(), pts[1, :].max()]
+    center = [(bbox[0] + bbox[2]) / 2, (bbox[1] + bbox[3]) / 2]
+    radius = max(bbox[2] - bbox[0], bbox[3] - bbox[1]) / 2
+    bbox = [center[0] - radius, center[1] - radius,
+            center[0] + radius, center[1] + radius]
+    llength = np.sqrt((bbox[2] - bbox[0]) ** 2 + (bbox[3] - bbox[1]) ** 2)
+    return llength / 3
+
+
+def build_camera_box(rear_size: float = 90.0) -> np.ndarray:
+    """The 10-point 3D pose box polyline (pose.py:150-169)."""
+    rear_depth = 0
+    front_size = int(4 / 3 * rear_size)
+    front_depth = int(4 / 3 * rear_size)
+    pts = [(-rear_size, -rear_size, rear_depth),
+           (-rear_size, rear_size, rear_depth),
+           (rear_size, rear_size, rear_depth),
+           (rear_size, -rear_size, rear_depth),
+           (-rear_size, -rear_size, rear_depth),
+           (-front_size, -front_size, front_depth),
+           (-front_size, front_size, front_depth),
+           (front_size, front_size, front_depth),
+           (front_size, -front_size, front_depth),
+           (-front_size, -front_size, front_depth)]
+    return np.asarray(pts, np.float32).reshape(-1, 3)
+
+
+def plot_pose_box(img: np.ndarray, P: np.ndarray, ver: np.ndarray,
+                  color=(40, 255, 0), line_width: int = 2) -> np.ndarray:
+    """Draw the 3D pose box (pose.py:171-199). ver: (3, 68) landmarks."""
+    import cv2
+
+    point_3d = build_camera_box(calc_hypotenuse(ver))
+    point_3d_homo = np.hstack((point_3d, np.ones([point_3d.shape[0], 1])))
+    point_2d = point_3d_homo.dot(P.T)[:, :2]
+    point_2d[:, 1] = -point_2d[:, 1]
+    point_2d[:, :2] = (point_2d[:, :2] - np.mean(point_2d[:4, :2], 0)
+                       + np.mean(ver[:2, :27], 1))
+    point_2d = np.int32(point_2d.reshape(-1, 2))
+
+    cv2.polylines(img, [point_2d], True, color, line_width, cv2.LINE_AA)
+    for a, b in ((1, 6), (2, 7), (3, 8)):
+        cv2.line(img, tuple(point_2d[a]), tuple(point_2d[b]), color,
+                 line_width, cv2.LINE_AA)
+    return img
+
+
+def viz_pose(img: np.ndarray, param_lst: Sequence[np.ndarray],
+             ver_lst: Sequence[np.ndarray],
+             wfp: Optional[str] = None) -> np.ndarray:
+    """Pose boxes for every detected face (pose.py:201-216)."""
+    import cv2
+
+    for param, ver in zip(param_lst, ver_lst):
+        P, _ = calc_pose(param)
+        img = plot_pose_box(img, P, ver)
+    if wfp is not None:
+        cv2.imwrite(wfp, img)
+    return img
+
+
+def draw_landmarks(img: np.ndarray, ver: np.ndarray, color=(0, 255, 0),
+                   radius: int = 1) -> np.ndarray:
+    """Draw the 68 sparse landmarks. ver: (3, 68) or (2, 68)."""
+    import cv2
+
+    for x, y in zip(ver[0], ver[1]):
+        cv2.circle(img, (int(round(x)), int(round(y))), radius, color, -1)
+    return img
+
+
+def render_depth(vertices: np.ndarray, triangles: np.ndarray,
+                 h: int, w: int) -> np.ndarray:
+    """Z-buffer depth image (utils/depth.py equivalent): per-pixel nearest
+    vertex z, normalized to [0,1]. vertices: (3, N) image coords; triangles:
+    (M, 3). Vectorized painter's algorithm over triangles sorted by depth."""
+    depth = np.zeros((h, w), np.float32)
+    v = vertices
+    z = v[2]
+    zmin, zmax = z.min(), z.max()
+    znorm = (z - zmin) / max(zmax - zmin, 1e-8)
+    tz = znorm[triangles].mean(1)
+    order = np.argsort(tz)                 # far-to-near painter's fill
+    for ti in order:
+        tri = triangles[ti]
+        xs, ys = v[0, tri], v[1, tri]
+        x0, x1 = int(np.floor(xs.min())), int(np.ceil(xs.max()))
+        y0, y1 = int(np.floor(ys.min())), int(np.ceil(ys.max()))
+        x0, y0 = max(x0, 0), max(y0, 0)
+        x1, y1 = min(x1, w - 1), min(y1, h - 1)
+        if x1 < x0 or y1 < y0:
+            continue
+        depth[y0:y1 + 1, x0:x1 + 1] = znorm[tri].mean()
+    return depth
+
+
+def render_mesh_overlay(img: np.ndarray, vertices: np.ndarray,
+                        triangles: np.ndarray, alpha: float = 0.6
+                        ) -> np.ndarray:
+    """Shaded 3DMM mesh over the image via the native rasterizer
+    (runtime/src/render.cpp; reference render.c + render_ctypes.py)."""
+    from dawn_tpu.runtime import native
+
+    lib = native.load()
+    if lib is None:
+        raise RuntimeError("libdawn_rt.so unavailable")
+    base = np.ascontiguousarray(img.astype(np.float32) / 255.0
+                                if img.dtype == np.uint8 else img)
+    shaded = native.render_mesh(lib, np.ascontiguousarray(vertices.T),
+                                triangles, base.copy())
+    out = (1 - alpha) * base + alpha * shaded
+    if img.dtype == np.uint8:
+        return (np.clip(out, 0, 1) * 255).astype(np.uint8)
+    return out

@@ -76,11 +76,11 @@ def render_mesh(lib: ctypes.CDLL, vertices: np.ndarray, triangles: np.ndarray,
     light = np.asarray(light_dir, dtype=np.float32)
     lib.dawn_render_mesh(
         vertices.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        np.int32(vertices.shape[0]),
+        ctypes.c_int(vertices.shape[0]),
         triangles.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        np.int32(triangles.shape[0]),
+        ctypes.c_int(triangles.shape[0]),
         image.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        np.int32(image.shape[0]), np.int32(image.shape[1]),
+        ctypes.c_int(image.shape[0]), ctypes.c_int(image.shape[1]),
         light.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ctypes.c_float(ambient), ctypes.c_float(diffuse))
     return image

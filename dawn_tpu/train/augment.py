@@ -71,3 +71,55 @@ def color_jitter_video(rng: jax.Array, video: jax.Array,
     s = jnp.clip(s * sf, 0, 1)
     h = (h + hf) % 1.0
     return jnp.clip(_hsv_to_rgb(h, s, val), 0, 1)
+
+
+# ---------------------------------------------------------- LFG pair augs
+# numpy-side clip augmentation matching LFG/augmentation.py +
+# config/hdtf128.yaml train_params.augmentation_params (horizontal+time flip,
+# color jitter 0.1). Operates on a [source, driving] frame pair before it
+# reaches the device.
+
+def _np_adjust(clip, brightness, contrast, saturation, hue, rng):
+    import numpy as np
+    out = clip
+    b = 1.0 + rng.uniform(-brightness, brightness)
+    c = 1.0 + rng.uniform(-contrast, contrast)
+    s = 1.0 + rng.uniform(-saturation, saturation)
+    h = rng.uniform(-hue, hue)
+    out = out * b
+    mean = out.mean(axis=(-3, -2, -1), keepdims=True)
+    out = (out - mean) * c + mean
+    gray = out.mean(axis=-1, keepdims=True)
+    out = (out - gray) * s + gray
+    if hue:
+        # hue rotation in YIQ space (rotate the chroma plane by 2*pi*h)
+        theta = 2 * np.pi * h
+        cs, sn = np.cos(theta), np.sin(theta)
+        to_yiq = np.array([[0.299, 0.587, 0.114],
+                           [0.596, -0.274, -0.322],
+                           [0.211, -0.523, 0.312]], np.float32)
+        rot = np.array([[1, 0, 0], [0, cs, -sn], [0, sn, cs]], np.float32)
+        m = np.linalg.inv(to_yiq) @ rot @ to_yiq
+        out = out @ m.T
+    return np.clip(out, 0.0, 1.0)
+
+
+def augment_frame_pair(rng, source, driving,
+                       horizontal_flip: bool = True, time_flip: bool = True,
+                       brightness: float = 0.1, contrast: float = 0.1,
+                       saturation: float = 0.1, hue: float = 0.1):
+    """[source, driving] (H, W, 3) float [0,1] -> augmented pair.
+
+    RandomFlip (augmentation.py:91-103: horizontal flips both frames; time
+    flip swaps source/driving) + ColorJitter applied consistently to the
+    clip (:217-321; AllAugmentationTransform :323-345).
+    """
+    import numpy as np
+    if time_flip and rng.rand() < 0.5:
+        source, driving = driving, source
+    if horizontal_flip and rng.rand() < 0.5:
+        source = source[:, ::-1]
+        driving = driving[:, ::-1]
+    clip = np.stack([source, driving])
+    clip = _np_adjust(clip, brightness, contrast, saturation, hue, rng)
+    return clip[0], clip[1]

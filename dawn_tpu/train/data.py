@@ -190,3 +190,173 @@ class PBnetPoseDataset:
             samples = [self.sample(int(i)) for i in idxs]
             yield {k: np.stack([s[k] for s in samples])
                    for k in samples[0] if k != "name"}
+
+
+class FramesDataset:
+    """Generic video-folder dataset for LFG training
+    (LFG/frames_dataset.py): root contains one entry per video — a directory
+    of frame images (png/jpg), a chunked-npy directory (chunk_*.npy of 25
+    frames), or an .mp4 (read via cv2). Train mode returns a random
+    (source, driving) frame pair (:135-167); test mode the full video.
+    """
+
+    def __init__(self, root_dir: str, mode: str = "train",
+                 image_size: int = 256, augment=None, seed: int = 0,
+                 id_sampling: bool = False):
+        self.root = root_dir
+        self.mode = mode
+        self.image_size = image_size
+        self.augment = augment
+        self.rng = np.random.RandomState(seed)
+        self.videos = sorted(os.listdir(root_dir))
+        if id_sampling:
+            # person-id sampling: group videos by the prefix before '#'
+            ids = sorted({v.split("#")[0] for v in self.videos})
+            self._by_id = {i: [v for v in self.videos if v.split("#")[0] == i]
+                           for i in ids}
+            self.videos = ids
+        self.id_sampling = id_sampling
+
+    def __len__(self):
+        return len(self.videos)
+
+    def _read_video(self, name: str) -> np.ndarray:
+        """(T, H, W, 3) float32 [0,1]."""
+        import glob as _glob
+        path = os.path.join(self.root, name)
+        if os.path.isdir(path):
+            chunks = sorted(_glob.glob(os.path.join(path, "chunk_*.npy")))
+            if chunks:
+                vid = np.concatenate([np.load(c) for c in chunks])
+                return vid.astype(np.float32) / 255.0
+            import cv2
+            frames = []
+            for f in sorted(os.listdir(path)):
+                if f.lower().endswith((".png", ".jpg", ".jpeg")):
+                    img = cv2.cvtColor(cv2.imread(os.path.join(path, f)),
+                                       cv2.COLOR_BGR2RGB)
+                    frames.append(img)
+            return np.stack(frames).astype(np.float32) / 255.0
+        if path.endswith((".mp4", ".gif", ".avi")):
+            import cv2
+            cap = cv2.VideoCapture(path)
+            frames = []
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+            cap.release()
+            return np.stack(frames).astype(np.float32) / 255.0
+        if path.endswith(".npy"):
+            return np.load(path).astype(np.float32) / 255.0
+        raise ValueError(f"unsupported video entry {path}")
+
+    def _resize(self, frame: np.ndarray) -> np.ndarray:
+        s = self.image_size
+        if frame.shape[0] == s and frame.shape[1] == s:
+            return frame
+        import cv2
+        return cv2.resize(frame, (s, s), interpolation=cv2.INTER_AREA)
+
+    def sample(self, idx: int):
+        name = self.videos[idx]
+        if self.id_sampling:
+            name = self._by_id[name][self.rng.randint(len(self._by_id[name]))]
+        vid = self._read_video(name)
+        t = len(vid)
+        if self.mode == "train":
+            i, j = sorted(self.rng.choice(t, size=2, replace=True))
+            src, drv = self._resize(vid[i]), self._resize(vid[j])
+            if self.augment is not None:
+                src, drv = self.augment(self.rng, src, drv)
+            return {"source": src, "driving": drv, "name": name}
+        return {"video": np.stack([self._resize(f) for f in vid]),
+                "name": name}
+
+    def batches(self, batch_size: int, steps: int):
+        for _ in range(steps):
+            idxs = self.rng.randint(len(self.videos), size=batch_size)
+            samples = [self.sample(int(i)) for i in idxs]
+            yield {k: np.stack([s[k] for s in samples])
+                   for k in ("source", "driving")}
+
+
+class DatasetRepeater:
+    """Repeats a dataset num_repeats times per epoch
+    (frames_dataset.py:178-192)."""
+
+    def __init__(self, dataset, num_repeats: int = 100):
+        self.dataset = dataset
+        self.num_repeats = num_repeats
+
+    def __len__(self):
+        return self.num_repeats * len(self.dataset)
+
+    def sample(self, idx: int):
+        return self.dataset.sample(idx % len(self.dataset))
+
+
+class PairedDataset:
+    """(source video, driving video) pairs for animation demos
+    (frames_dataset.py:194-233): explicit pairs list or the index
+    cross-product."""
+
+    def __init__(self, dataset: "FramesDataset", pairs_list=None,
+                 number_of_pairs: int = 20, seed: int = 0):
+        self.dataset = dataset
+        if pairs_list:
+            names = {v: i for i, v in enumerate(dataset.videos)}
+            self.pairs = [(names[a], names[b]) for a, b in pairs_list]
+        else:
+            rng = np.random.RandomState(seed)
+            n = len(dataset)
+            self.pairs = [(int(rng.randint(n)), int(rng.randint(n)))
+                          for _ in range(number_of_pairs)]
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def sample(self, idx: int):
+        i, j = self.pairs[idx]
+        mode = self.dataset.mode
+        self.dataset.mode = "test"
+        try:
+            a = self.dataset.sample(i)
+            b = self.dataset.sample(j)
+        finally:
+            self.dataset.mode = mode
+        return {"source_video": a["video"], "driving_video": b["video"],
+                "source_name": a["name"], "driving_name": b["name"]}
+
+
+# ------------------------------------------------------- padded collation
+
+def lengths_to_mask(lengths: np.ndarray, max_len: int = None) -> np.ndarray:
+    """(B,) lengths -> (B, T) bool mask (tensors_eye.py:4-8)."""
+    lengths = np.asarray(lengths)
+    t = int(max_len if max_len is not None else lengths.max())
+    return np.arange(t)[None, :] < lengths[:, None]
+
+
+def collate_padded(samples, keys=("x", "hubert")):
+    """Zero-pad variable-length (T_i, D) sequences to the batch max and
+    build the validity mask (tensors_eye.py:10-44 collate semantics).
+
+    samples: list of dicts with (T_i, D) arrays under ``keys``.
+    Returns {key: (B, T, D)}, plus 'mask' (B, T) and 'lengths' (B,).
+    """
+    lengths = np.asarray([len(s[keys[0]]) for s in samples])
+    t = int(lengths.max())
+    out = {}
+    for k in keys:
+        d = samples[0][k].shape[-1]
+        canvas = np.zeros((len(samples), t, d), samples[0][k].dtype)
+        for i, s in enumerate(samples):
+            canvas[i, : len(s[k])] = s[k]
+        out[k] = canvas
+    out["mask"] = lengths_to_mask(lengths, t)
+    out["lengths"] = lengths
+    if "name" in samples[0]:
+        out["videoname"] = [s["name"] for s in samples]
+    return out

@@ -72,6 +72,10 @@ class DMTrainConfig:
                                    # uses the temporal-FFT hf_loss_2 variant
     color_jitter: bool = True
     compute_dtype: Any = jnp.float32
+    ema_decay: Optional[float] = 0.9999  # None disables; the reference ships
+                                         # an EMA class but never wires it
+                                         # (ca_multi_test.py:125-138) — here
+                                         # it works
 
     @property
     def latent_size(self) -> int:
@@ -120,12 +124,15 @@ class DMTrainer:
         face_vars = self.face_loc.init(r3, jnp.zeros((1, cfg.img_size, cfg.img_size, 1)))
         flat, unravel = ravel_pytree(unet_vars["params"])
         self._unravel = unravel
-        return {
+        state = {
             "params": flat,
             "opt_state": self.tx.init(flat),
             "step": jnp.zeros((), jnp.int32),
             "frozen": {"lfg": lfg_vars, "face_loc": face_vars},
         }
+        if cfg.ema_decay is not None:
+            state["ema_params"] = flat
+        return state
 
     def unet_variables(self, state: Dict[str, Any]) -> Dict[str, Any]:
         """Flat state params -> flax variables dict for the UNet."""
@@ -209,7 +216,78 @@ class DMTrainer:
         metrics["grads_finite"] = finite.astype(jnp.float32)
         new_state = {**state, "params": params, "opt_state": opt_state,
                      "step": state["step"] + 1}
+        if "ema_params" in state:
+            d = self.config.ema_decay
+            new_state["ema_params"] = state["ema_params"] * d + params * (1 - d)
         return new_state, metrics
+
+    # ------------------------------------------------------------- monitoring
+    def snapshot(self, state, rng, batch, max_frames: int = 4):
+        """Training-time visual monitoring (train...6D.py:354-446).
+
+        Runs the teacher + one noisy denoise (pred_x0) on the first sample of
+        the batch, decodes BOTH real and fake flow through the frozen LFG and
+        returns a dict of numpy arrays: real/fake decoded frames plus flow and
+        confidence figures — the same panels the reference writes as GIF grids.
+        """
+        from dawn_tpu.utils.misc import flow2fig, conf2fig
+
+        cfg = self.config
+        video = batch["video"][:1].astype(jnp.float32) / 255.0
+        t = min(max_frames, video.shape[1])
+        video = video[:, :t]
+        pose = batch["pose"][:1, :t, : cfg.pose_dim]
+        blink = batch["blink"][:1, :t]
+        cond = jnp.concatenate(
+            [batch["hubert"][:1, :t], pose - pose[:, :1],
+             blink - blink[:, :1]], axis=-1)
+
+        teacher = self.flow_ae.reconstruct_video(
+            state["frozen"]["lfg"], video[:, 0], video)
+        x_start = jnp.concatenate(
+            [teacher["real_vid_grid"], teacher["real_vid_conf"] * 2 - 1], -1)
+        bbox_mask = generate_bbox_mask(batch["bbox"][:1], cfg.img_size)
+        mask_emb = self.face_loc.apply(state["frozen"]["face_loc"], bbox_mask)
+        fea_t = jnp.broadcast_to(teacher["ref_img_fea"][:, None],
+                                 (1, t) + teacher["ref_img_fea"].shape[1:])
+        mask_t = jnp.broadcast_to(mask_emb[:, None], (1, t) + mask_emb.shape[1:])
+
+        params = state.get("ema_params", state["params"])
+
+        def denoise(x, tvec, c, drop):
+            return self.unet.apply({"params": self._unravel(params)},
+                                   x, tvec, c, drop)
+
+        tvec = jnp.full((1,), self.diffusion.timesteps // 2, jnp.int32)
+        _, pred_x0, _ = self.diffusion.p_losses(
+            denoise, rng, x_start, tvec, fea_t, mask_t, cond)
+
+        fake_grid = pred_x0[..., :2]
+        fake_conf = (pred_x0[..., 2:3] + 1) * 0.5
+        dec = self.flow_ae.generator.apply(
+            state["frozen"]["lfg"]["generator"], video[0, :1].repeat(t, 0),
+            fake_grid[0], fake_conf[0],
+            method=type(self.flow_ae.generator).decode_with_flow)
+
+        real_grid = np.asarray(teacher["real_vid_grid"][0])
+        return {
+            "real_frames": np.asarray(video[0]),
+            "real_decode": np.asarray(teacher["real_out_vid"][0]),
+            "fake_decode": np.asarray(dec["prediction"]),
+            "real_flow_fig": np.stack([flow2fig(real_grid[i],
+                                                grid_size=real_grid.shape[1],
+                                                img_size=cfg.img_size)
+                                       for i in range(t)]),
+            "fake_flow_fig": np.stack([flow2fig(np.asarray(fake_grid[0, i]),
+                                                grid_size=real_grid.shape[1],
+                                                img_size=cfg.img_size)
+                                       for i in range(t)]),
+            "real_conf_fig": np.stack([conf2fig(np.asarray(
+                teacher["real_vid_conf"][0, i, ..., 0]), cfg.img_size)
+                for i in range(t)]),
+            "fake_conf_fig": np.stack([conf2fig(np.asarray(
+                fake_conf[0, i, ..., 0]), cfg.img_size) for i in range(t)]),
+        }
 
     def make_sharded_step(self, mesh: Mesh):
         """jit the step over the mesh: batch over 'data', frames over 'seq'."""

@@ -144,3 +144,48 @@ def conf2fig(conf: np.ndarray, img_size: int = 256) -> np.ndarray:
         import cv2
         img = cv2.resize(img, (img_size, img_size), interpolation=cv2.INTER_NEAREST)
     return img
+
+
+def save_snapshot_grid(path: str, panels: "dict[str, np.ndarray]") -> None:
+    """Write training-monitor panels as one PNG grid (rows = panels, cols =
+    frames) — the PNG equivalent of the reference's GIF grids
+    (train...6D.py:354-446). Each panel: (T, H, W, 3) float [0,1] or uint8."""
+    from PIL import Image
+
+    rows = []
+    for name, frames in panels.items():
+        fr = np.asarray(frames)
+        if fr.dtype != np.uint8:
+            fr = (np.clip(fr, 0.0, 1.0) * 255).astype(np.uint8)
+        rows.append(np.concatenate(list(fr), axis=1))       # (H, T*W, 3)
+    h = max(r.shape[0] for r in rows)
+    w = max(r.shape[1] for r in rows)
+    rows = [np.pad(r, ((0, h - r.shape[0]), (0, w - r.shape[1]), (0, 0)))
+            for r in rows]
+    Image.fromarray(np.concatenate(rows, axis=0)).save(path)
+
+
+def get_grid(batchsize: int, size, minval: float = -1.0, maxval: float = 1.0):
+    """2D coordinate grid (B, H, W, 2) with channels (x, y) in
+    [minval, maxval] (misc.py:140-170, channels-last)."""
+    rows, cols = size
+    x = np.linspace(minval, maxval, cols, dtype=np.float32)
+    y = np.linspace(minval, maxval, rows, dtype=np.float32)
+    gx, gy = np.meshgrid(x, y)
+    grid = np.stack([gx, gy], axis=-1)[None]
+    return np.broadcast_to(grid, (batchsize, rows, cols, 2))
+
+
+def resample(image, flow):
+    """Warp image by a pixel-displacement flow (misc.py:116-138).
+
+    image: (B, H, W, C); flow: (B, H, W, 2) pixel offsets (x, y). Uses
+    align_corners=True + border padding like the reference helper.
+    """
+    import jax.numpy as jnp
+    from dawn_tpu.ops.resample import grid_sample
+
+    b, h, w, _ = image.shape
+    norm = jnp.asarray([(w - 1.0) / 2.0, (h - 1.0) / 2.0], image.dtype)
+    grid = jnp.asarray(get_grid(b, (h, w))) + flow / norm
+    return grid_sample(image, grid, align_corners=True, padding_mode="border")

@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--log-every", type=int, default=50)
     ap.add_argument("--ckpt-every", type=int, default=500)
+    ap.add_argument("--sample-every", type=int, default=1000,
+                    help="write PNG monitor grids of real/fake flow decodes "
+                         "(the reference's GIF snapshots, train...6D.py:354)")
     args = ap.parse_args()
 
     import yaml
@@ -117,6 +120,14 @@ def main():
                 print(f"step {step}: " + " ".join(str(m) for m in meters.values()))
             if step > start and step % args.ckpt_every == 0:
                 save_checkpoint(ckpt_dir, state, step)
+            if args.sample_every and step > start and step % args.sample_every == 0:
+                from dawn_tpu.utils.misc import save_snapshot_grid
+                snap_dir = os.path.join(args.workdir, "imgshots")
+                os.makedirs(snap_dir, exist_ok=True)
+                snaps = trainer.snapshot(state, jax.random.PRNGKey(step + 1),
+                                         batch)
+                save_snapshot_grid(
+                    os.path.join(snap_dir, f"step_{step:07d}.png"), snaps)
             t0 = time.time()
     save_checkpoint(ckpt_dir, state, total)
 

@@ -40,8 +40,13 @@ def frame_pair_batches(frames_dir, batch_size, img_size, steps, rng):
             i, j = rng.randint(n), rng.randint(n)
             srcs.append(read_block_range(vd, i, i + 1)[0])
             drvs.append(read_block_range(vd, j, j + 1)[0])
-        yield {"source": np.stack(srcs).astype(np.float32) / 255.0,
-               "driving": np.stack(drvs).astype(np.float32) / 255.0}
+        # augmentation_params from config/hdtf128.yaml:28-37 (flip + jitter)
+        from dawn_tpu.train.augment import augment_frame_pair
+        pairs = [augment_frame_pair(rng, s.astype(np.float32) / 255.0,
+                                    d.astype(np.float32) / 255.0)
+                 for s, d in zip(srcs, drvs)]
+        yield {"source": np.stack([p[0] for p in pairs]),
+               "driving": np.stack([p[1] for p in pairs])}
 
 
 def main():

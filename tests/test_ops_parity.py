@@ -205,3 +205,44 @@ class TestRotary:
         got = np.asarray(ops.apply_rotary(jnp.asarray(x), cos, sin))
         np.testing.assert_array_equal(got[..., rot:], x[..., rot:])
         assert not np.allclose(got[..., 1:rot], x[..., 1:rot])
+
+
+class TestResampleMisc:
+    """misc.py resample/get_grid parity (align_corners=True, border pad)."""
+
+    def test_resample_matches_torch(self):
+        import torch
+        import torch.nn.functional as F
+        import jax.numpy as jnp
+        from dawn_tpu.utils.misc import resample, get_grid
+
+        r = np.random.RandomState(0)
+        img = r.rand(2, 16, 16, 3).astype(np.float32)
+        flow = (r.rand(2, 16, 16, 2).astype(np.float32) - 0.5) * 6
+        grid_t = torch.from_numpy(np.array(get_grid(2, (16, 16)))).permute(0, 3, 1, 2)
+        flow_t = torch.from_numpy(flow).permute(0, 3, 1, 2)
+        flow_n = torch.cat([flow_t[:, 0:1] / 7.5, flow_t[:, 1:2] / 7.5], 1)
+        fin = (grid_t + flow_n).permute(0, 2, 3, 1)
+        ref = F.grid_sample(torch.from_numpy(img).permute(0, 3, 1, 2), fin,
+                            mode="bilinear", padding_mode="border",
+                            align_corners=True).permute(0, 2, 3, 1).numpy()
+        got = np.asarray(resample(jnp.asarray(img), jnp.asarray(flow)))
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_grid_sample_border_align_matches_torch(self):
+        import torch
+        import torch.nn.functional as F
+        import jax.numpy as jnp
+        from dawn_tpu.ops.resample import grid_sample
+
+        r = np.random.RandomState(1)
+        img = r.rand(2, 9, 11, 3).astype(np.float32)
+        grid = (r.rand(2, 7, 5, 2).astype(np.float32) - 0.5) * 2.6  # out of range
+        ref = F.grid_sample(torch.from_numpy(img).permute(0, 3, 1, 2),
+                            torch.from_numpy(grid), mode="bilinear",
+                            padding_mode="border",
+                            align_corners=True).permute(0, 2, 3, 1).numpy()
+        got = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(grid),
+                                     align_corners=True,
+                                     padding_mode="border"))
+        np.testing.assert_allclose(got, ref, atol=1e-5)
