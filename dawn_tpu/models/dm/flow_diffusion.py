@@ -76,7 +76,9 @@ class FlowDiffusionConfig:
     use_residual_flow: bool = False
     attn_mode: str = "full"           # 'full' | 'local'
     dim_mults: Tuple[int, ...] = (1, 2, 4, 8)
-    dtype: Any = jnp.float32
+    dtype: Any = jnp.float32       # UNet compute dtype (bf16 = ~30% faster)
+    lfg_dtype: Any = jnp.float32   # LFG decode is warp/gather-bound: bf16
+                                   # measured ~2% SLOWER on v5e — keep f32
 
     @property
     def latent_size(self) -> int:
@@ -105,7 +107,7 @@ class FlowDiffusion:
             loss_type="l2",
             use_dynamic_thres=True,
             null_cond_prob=config.null_cond_prob)
-        self.generator = LFGGenerator()
+        self.generator = LFGGenerator(dtype=config.lfg_dtype)
         self.face_loc = FaceLocEncoder()
 
     # ------------------------------------------------------------------ init

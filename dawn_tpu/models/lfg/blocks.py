@@ -12,7 +12,7 @@ DownBlock2d / UpBlock2d / ResBlock2d) and the Hourglass encoder/decoder
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +34,8 @@ class SyncBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)      # stats + affine in f32 (bf16-safe)
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
@@ -59,7 +61,7 @@ class SyncBatchNorm(nn.Module):
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
                 ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
         inv = jax.lax.rsqrt(var + self.epsilon) * scale
-        return x * inv + (bias - mean * inv)
+        return (x * inv + (bias - mean * inv)).astype(in_dtype)
 
 
 class SameBlock2d(nn.Module):
@@ -68,12 +70,13 @@ class SameBlock2d(nn.Module):
     kernel_size: int = 7
     train_bn: bool = False
     bn_axis: Optional[str] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         p = self.kernel_size // 2
         x = nn.Conv(self.features, (self.kernel_size, self.kernel_size),
-                    padding=p, name="conv")(x)
+                    padding=p, dtype=self.dtype, name="conv")(x.astype(self.dtype))
         x = SyncBatchNorm(use_running_average=not self.train_bn,
                           axis_name=self.bn_axis, name="norm")(x)
         return nn.relu(x)
@@ -84,10 +87,12 @@ class DownBlock2d(nn.Module):
     features: int
     train_bn: bool = False
     bn_axis: Optional[str] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.features, (3, 3), padding=1, name="conv")(x)
+        x = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv")(x.astype(self.dtype))
         x = SyncBatchNorm(use_running_average=not self.train_bn,
                           axis_name=self.bn_axis, name="norm")(x)
         return avg_pool_2x2(nn.relu(x))
@@ -98,12 +103,14 @@ class UpBlock2d(nn.Module):
     features: int
     train_bn: bool = False
     bn_axis: Optional[str] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         n, h, w, c = x.shape
-        x = interpolate_nearest(x, h * 2, w * 2)
-        x = nn.Conv(self.features, (3, 3), padding=1, name="conv")(x)
+        x = interpolate_nearest(x.astype(self.dtype), h * 2, w * 2)
+        x = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv")(x)
         x = SyncBatchNorm(use_running_average=not self.train_bn,
                           axis_name=self.bn_axis, name="norm")(x)
         return nn.relu(x)
@@ -113,16 +120,20 @@ class ResBlock2d(nn.Module):
     """(BN-relu-conv) x2 + residual. Reference: util.py:70-93."""
     train_bn: bool = False
     bn_axis: Optional[str] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
+        x = x.astype(self.dtype)
         h = SyncBatchNorm(use_running_average=not self.train_bn,
                           axis_name=self.bn_axis, name="norm1")(x)
-        h = nn.Conv(c, (3, 3), padding=1, name="conv1")(nn.relu(h))
+        h = nn.Conv(c, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv1")(nn.relu(h))
         h = SyncBatchNorm(use_running_average=not self.train_bn,
                           axis_name=self.bn_axis, name="norm2")(h)
-        h = nn.Conv(c, (3, 3), padding=1, name="conv2")(nn.relu(h))
+        h = nn.Conv(c, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2")(nn.relu(h))
         return h + x
 
 
@@ -133,6 +144,7 @@ class HourglassEncoder(nn.Module):
     max_features: int = 256
     train_bn: bool = False
     bn_axis: Optional[str] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x) -> Sequence[jax.Array]:
@@ -140,6 +152,7 @@ class HourglassEncoder(nn.Module):
         for i in range(self.num_blocks):
             feats = min(self.max_features, self.block_expansion * (2 ** (i + 1)))
             outs.append(DownBlock2d(feats, self.train_bn, self.bn_axis,
+                                    dtype=self.dtype,
                                     name=f"down_{i}")(outs[-1]))
         return outs
 
@@ -152,6 +165,7 @@ class HourglassDecoder(nn.Module):
     max_features: int = 256
     train_bn: bool = False
     bn_axis: Optional[str] = None
+    dtype: Any = jnp.float32
 
     @property
     def out_filters(self) -> int:
@@ -164,8 +178,8 @@ class HourglassDecoder(nn.Module):
         for j, i in enumerate(range(self.num_blocks)[::-1]):
             feats = min(self.max_features, self.block_expansion * (2 ** i))
             out = UpBlock2d(feats, self.train_bn, self.bn_axis,
-                            name=f"up_{j}")(out)
-            out = jnp.concatenate([out, xs.pop()], axis=-1)
+                            dtype=self.dtype, name=f"up_{j}")(out)
+            out = jnp.concatenate([out, xs.pop().astype(out.dtype)], axis=-1)
         return out
 
 
@@ -177,12 +191,14 @@ class Hourglass(nn.Module):
     max_features: int = 256
     train_bn: bool = False
     bn_axis: Optional[str] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x) -> jax.Array:
         feats = HourglassEncoder(self.block_expansion, self.num_blocks,
                                  self.max_features, self.train_bn, self.bn_axis,
-                                 name="encoder")(x)
+                                 dtype=self.dtype, name="encoder")(x)
         return HourglassDecoder(self.block_expansion, self.in_features,
                                 self.num_blocks, self.max_features,
-                                self.train_bn, self.bn_axis, name="decoder")(feats)
+                                self.train_bn, self.bn_axis, dtype=self.dtype,
+                                name="decoder")(feats)

@@ -38,9 +38,11 @@ class LFGGenerator(nn.Module):
     skips: bool = True
     train_bn: bool = False
     bn_axis: Optional[str] = None
+    dtype: Any = jnp.float32       # compute dtype; BN stats stay f32
 
     def setup(self):
-        kw = dict(train_bn=self.train_bn, bn_axis=self.bn_axis)
+        kw = dict(train_bn=self.train_bn, bn_axis=self.bn_axis,
+                  dtype=self.dtype)
         self.first = SameBlock2d(self.block_expansion, kernel_size=7, **kw)
         self.down_blocks = [
             DownBlock2d(min(self.max_features, self.block_expansion * (2 ** (i + 1))), **kw)
@@ -52,7 +54,8 @@ class LFGGenerator(nn.Module):
             for i in range(self.num_down_blocks)
         ]
         self.bottleneck = [ResBlock2d(**kw) for _ in range(self.num_bottleneck_blocks)]
-        self.final = nn.Conv(self.num_channels, (7, 7), padding=3)
+        self.final = nn.Conv(self.num_channels, (7, 7), padding=3,
+                             dtype=self.dtype)
 
     def encode(self, source_image: jax.Array) -> List[jax.Array]:
         """Skip pyramid [s0 (full res) ... s_n (bottleneck)] for one source."""
@@ -81,10 +84,12 @@ class LFGGenerator(nn.Module):
             out = apply_optical(skips[0], optical_flow, occlusion_map, out)
         out = jax.nn.sigmoid(self.final(out))
         if self.skips:
-            out = apply_optical(source_image, optical_flow, occlusion_map, out)
+            out = apply_optical(source_image.astype(out.dtype), optical_flow,
+                                occlusion_map, out)
         return {
-            "prediction": out,
-            "deformed": deform_input(source_image, optical_flow),
+            "prediction": out.astype(jnp.float32),
+            "deformed": deform_input(source_image, optical_flow).astype(
+                jnp.float32),
         }
 
     def decode_with_flow(self, source_image: jax.Array, optical_flow: jax.Array,

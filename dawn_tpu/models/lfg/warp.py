@@ -41,8 +41,10 @@ def apply_optical(input_skip: jax.Array, optical_flow: jax.Array,
     if occlusion_map is not None:
         if occlusion_map.shape[1:3] != out.shape[1:3]:
             occlusion_map = interpolate_bilinear(occlusion_map, out.shape[1], out.shape[2])
+        occlusion_map = occlusion_map.astype(out.dtype)
         if input_previous is not None:
-            out = out * occlusion_map + input_previous * (1 - occlusion_map)
+            out = out * occlusion_map + input_previous.astype(out.dtype) * (
+                1 - occlusion_map)
         else:
             out = out * occlusion_map
     return out

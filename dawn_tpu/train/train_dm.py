@@ -131,7 +131,8 @@ class DMTrainer:
             "frozen": {"lfg": lfg_vars, "face_loc": face_vars},
         }
         if cfg.ema_decay is not None:
-            state["ema_params"] = flat
+            # independent buffer: params and ema live in one donated pytree
+            state["ema_params"] = jnp.array(flat)
         return state
 
     def unet_variables(self, state: Dict[str, Any]) -> Dict[str, Any]:

@@ -77,3 +77,22 @@ def test_mesh_batch_sampler(model_and_vars):
                       x["pose"][:, 0], x["eye"][:, 0])
     assert out["sample_out_vid"].shape == (8, T, S, S, 3)
     assert np.isfinite(np.asarray(out["sample_out_vid"])).all()
+
+
+def test_lfg_decode_bf16_close_to_f32(model_and_vars):
+    """bf16 LFG decode path: same params, output f32, close to f32 decode."""
+    import jax.numpy as jnp
+    from dawn_tpu.models.lfg.generator import LFGGenerator
+    model, variables = model_and_vars
+    gen16 = LFGGenerator(dtype=jnp.bfloat16)
+    r = np.random.RandomState(2)
+    imgs = jnp.asarray(r.rand(1, S, S, 3), jnp.float32)
+    grid = jnp.asarray(r.rand(1, T, S // 4, S // 4, 2) * 2 - 1, jnp.float32)
+    conf = jnp.asarray(r.rand(1, T, S // 4, S // 4, 1), jnp.float32)
+    ref = model.generator.apply(variables["generator"], imgs, grid, conf,
+                                method=LFGGenerator.decode_with_flow_batched)
+    out = gen16.apply(variables["generator"], imgs, grid, conf,
+                      method=LFGGenerator.decode_with_flow_batched)
+    assert out["prediction"].dtype == jnp.float32
+    err = np.abs(np.asarray(out["prediction"] - ref["prediction"])).mean()
+    assert err < 0.02, err

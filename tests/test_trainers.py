@@ -63,6 +63,15 @@ class TestDMTrainer:
         assert np.allclose(np.asarray(new_state["ema_params"]), expect,
                            atol=1e-5)
 
+    def test_ema_buffer_not_aliased(self, dm_setup):
+        """make_sharded_step donates the state pytree; params and ema must be
+        distinct buffers or Execute() rejects the donation ("donate the same
+        buffer twice"). The full sharded step is exercised by
+        __graft_entry__.dryrun_multichip."""
+        trainer, state, _ = dm_setup
+        assert (state["ema_params"].unsafe_buffer_pointer()
+                != state["params"].unsafe_buffer_pointer())
+
     def test_snapshot_panels(self, dm_setup):
         trainer, state, batch = dm_setup
         snaps = trainer.snapshot(state, jax.random.PRNGKey(2), batch,
