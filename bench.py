@@ -30,12 +30,15 @@ def main():
     ap.add_argument("--frames", type=int, default=200)
     ap.add_argument("--img-size", type=int, default=128)
     ap.add_argument("--steps", type=int, default=20)
-    ap.add_argument("--attn", default="full", choices=["full", "local"],
+    ap.add_argument("--attn", default="full", choices=["full", "local", "pallas"],
                     help="full = windowed full attention (the reference's "
                          "inference default, fastest at T<=200); local = "
                          "linear-memory banded attention for long videos")
     ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--lfg-decode-chunk", type=int, default=None,
+                    help="decode frames in chunks (default: 0 at 128^2, "
+                         "32 at 256^2 where the full-res warp would OOM)")
     args = ap.parse_args()
 
     import jax
@@ -46,10 +49,14 @@ def main():
     print(f"backend={jax.default_backend()} devices={jax.devices()}",
           file=sys.stderr)
 
+    chunk = args.lfg_decode_chunk
+    if chunk is None:
+        chunk = 0 if args.img_size <= 128 else 32
     cfg = FlowDiffusionConfig(img_size=args.img_size,
                               sampling_timesteps=args.steps,
                               win_width=40,
                               attn_mode=args.attn,
+                              lfg_decode_chunk=chunk,
                               dtype=jnp.bfloat16 if args.dtype == "bf16"
                               else jnp.float32)
     model = FlowDiffusion(cfg)

@@ -74,11 +74,16 @@ class FlowDiffusionConfig:
     ddim_sampling_eta: float = 1.0
     null_cond_prob: float = 0.1
     use_residual_flow: bool = False
-    attn_mode: str = "full"           # 'full' | 'local'
+    attn_mode: str = "full"           # 'full' | 'local' | 'pallas'
     dim_mults: Tuple[int, ...] = (1, 2, 4, 8)
     dtype: Any = jnp.float32       # UNet compute dtype (bf16 = ~30% faster)
     lfg_dtype: Any = jnp.float32   # LFG decode is warp/gather-bound: bf16
                                    # measured ~2% SLOWER on v5e — keep f32
+    lfg_decode_chunk: int = 0      # decode frames in lax.map chunks of this
+                                   # size (0 = all at once). At 256^2 the
+                                   # full-res warp gathers for 200 frames
+                                   # need ~25 GB HBM — chunking bounds that
+                                   # to O(chunk) while convs stay batched
 
     @property
     def latent_size(self) -> int:
@@ -201,9 +206,29 @@ class FlowDiffusion:
 
         # batched LFG decode: each identity encoded once, all (B, T) frames
         # decoded as one conv program (vs the reference's per-frame loop)
-        dec = self.generator.apply(variables["generator"], sample_img,
-                                   grid, conf,
-                                   method=LFGGenerator.decode_with_flow_batched)
+        ck = cfg.lfg_decode_chunk
+        if ck and ck < t:
+            nc = -(-t // ck)
+            t_pad = nc * ck
+            pad = ((0, 0), (0, t_pad - t)) + ((0, 0),) * 3
+            grid_c = jnp.pad(grid, pad).reshape((b, nc, ck) + grid.shape[2:])
+            conf_c = jnp.pad(conf, pad).reshape((b, nc, ck) + conf.shape[2:])
+
+            def dec_chunk(gc):
+                g, c = gc
+                return self.generator.apply(
+                    variables["generator"], sample_img, g, c,
+                    method=LFGGenerator.decode_with_flow_batched)
+
+            # lax.map over frame chunks bounds the full-res warp memory
+            dec = jax.lax.map(dec_chunk, (grid_c.transpose(1, 0, 2, 3, 4, 5),
+                                          conf_c.transpose(1, 0, 2, 3, 4, 5)))
+            dec = {k: v.transpose(1, 0, 2, 3, 4, 5).reshape(
+                (b, t_pad) + v.shape[3:])[:, :t] for k, v in dec.items()}
+        else:
+            dec = self.generator.apply(
+                variables["generator"], sample_img, grid, conf,
+                method=LFGGenerator.decode_with_flow_batched)
         out["sample_out_vid"] = dec["prediction"]          # (B, T, H, W, 3)
         out["sample_warped_vid"] = dec["deformed"]
         return out

@@ -290,11 +290,12 @@ class TemporalAttention(nn.Module):
         q = apply_rotary(q, cos, sin)
         k = apply_rotary(k, cos, sin)
 
-        if self.mode == "local":
+        if self.mode in ("local", "pallas"):
             qf = q.reshape(b * s, self.heads, t, self.dim_head)
             kf = k.reshape(b * s, self.heads, t, self.dim_head)
             vf = v.reshape(b * s, self.heads, t, self.dim_head)
-            out = local_attention(qf, kf, vf, bias_vec, self.window)
+            out = local_attention(qf, kf, vf, bias_vec, self.window,
+                                  use_pallas=self.mode == "pallas")
             out = out.reshape(b, s, self.heads, t, self.dim_head)
         else:
             sim = jnp.einsum("bshid,bshjd->bshij", q, k).astype(jnp.float32)
@@ -435,7 +436,8 @@ class Unet3D(nn.Module):
     use_sparse_linear_attn: bool = True
     resnet_groups: int = 8
     init_kernel_size: int = 7
-    attn_mode: str = "full"          # 'full' | 'local'
+    attn_mode: str = "full"          # 'full' | 'local' (banded XLA) |
+                                     # 'pallas' (fused VMEM kernel, TPU)
     dtype: Any = jnp.float32         # compute dtype (params stay float32);
                                      # bfloat16 keeps norm/softmax stats in f32
 
@@ -470,7 +472,7 @@ class Unet3D(nn.Module):
         bias_emb = self.param("time_rel_pos_bias",
                               nn.initializers.normal(1.0),
                               (self.bias_num_buckets, heads))
-        if self.attn_mode == "local":
+        if self.attn_mode in ("local", "pallas"):
             pos_bias = None
             bias_vec = t5_bias_windowed_vector(bias_emb, self.win_width,
                                                self.bias_num_buckets,

@@ -113,7 +113,7 @@ def _tile_bias(heads: int, bq: int, window: int,
 
 def _local_attn_tile_kernel(bias_ref, q_ref, kl_ref, kc_ref, kr_ref,
                             vl_ref, vc_ref, vr_ref, o_ref, *,
-                            t: int, bq: int, nb: int):
+                            t: int, bq: int, nb: int, h: int):
     """Fused QK^T -> +bias/mask -> softmax -> AV over the 3-tile key stripe.
 
     Grid (n*h, nb). Tiles `l`/`r` are the neighbor key blocks (index maps
@@ -126,13 +126,14 @@ def _local_attn_tile_kernel(bias_ref, q_ref, kl_ref, kc_ref, kr_ref,
     import jax.experimental.pallas as pl
 
     b = pl.program_id(1)
+    head = jax.lax.rem(pl.program_id(0), h)
     q = q_ref[0, 0]                                # (bq, d)
     kt = jnp.concatenate([kl_ref[0, 0], kc_ref[0, 0], kr_ref[0, 0]], axis=0)
     vt = jnp.concatenate([vl_ref[0, 0], vc_ref[0, 0], vr_ref[0, 0]], axis=0)
 
     s = jax.lax.dot_general(q, kt, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)  # (bq, 3bq)
-    s = s + bias_ref[0]
+    s = s + bias_ref[head]
 
     # validity: global key position of column j is b*bq + (j - bq); must be
     # a real (unpadded) frame and come from a real (unclamped) neighbor tile
@@ -177,9 +178,11 @@ def local_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
             n * h, nb, bq, d)
 
     qp, kp, vp = prep(q), prep(k), prep(v)
+    # whole per-head bias stays VMEM-resident (constant index map, ~h*bq*3bq
+    # floats); the kernel picks its head's tile by dynamic index. This keeps
+    # bias HBM traffic O(1) instead of O(grid) — load-bearing at 256^2 where
+    # a per-sequence broadcast would be ~6 GB.
     bias = _tile_bias(h, bq, window, bias_vec)           # (h, bq, 3bq)
-    bias = jnp.broadcast_to(bias[None], (n, h, bq, 3 * bq)).reshape(
-        n * h, bq, 3 * bq)
 
     def qmap(s, b):
         return (s, b, 0, 0)
@@ -191,12 +194,12 @@ def local_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
         return (s, jnp.minimum(b + 1, nb - 1), 0, 0)
 
     kv_spec = lambda im: pl.BlockSpec((1, 1, bq, d), im)
-    kernel = functools.partial(_local_attn_tile_kernel, t=t, bq=bq, nb=nb)
+    kernel = functools.partial(_local_attn_tile_kernel, t=t, bq=bq, nb=nb, h=h)
     out = pl.pallas_call(
         kernel,
         grid=(n * h, nb),
         in_specs=[
-            pl.BlockSpec((1, bq, 3 * bq), lambda s, b: (s, 0, 0)),
+            pl.BlockSpec((h, bq, 3 * bq), lambda s, b: (0, 0, 0)),
             kv_spec(qmap),
             kv_spec(lmap), kv_spec(qmap), kv_spec(rmap),
             kv_spec(lmap), kv_spec(qmap), kv_spec(rmap),

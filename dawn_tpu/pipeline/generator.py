@@ -34,6 +34,16 @@ def inv_transform(x: np.ndarray, min_vals: np.ndarray, max_vals: np.ndarray):
     return x * (max_vals - min_vals) + min_vals
 
 
+def pad_to_bucket(arrays, t: int, bucket: int, max_n_frames: int):
+    """Edge-pad (T, D) conditioning arrays so T rounds up to a multiple of
+    ``bucket`` (capped at max_n_frames); returns (padded_arrays, t_padded)."""
+    t_pad = min(max_n_frames, -(-t // bucket) * bucket)
+    if t_pad <= t:
+        return list(arrays), t
+    pad = ((0, t_pad - t), (0, 0))
+    return [np.pad(a, pad, mode="edge") for a in arrays], t_pad
+
+
 @dataclasses.dataclass
 class GeneratorPaths:
     """Model asset locations (all optional; stages degrade gracefully)."""
@@ -54,7 +64,7 @@ class VideoGenerator:
                  max_n_frames: int = 200, win_width: int = 40,
                  sampling_step: int = 20, ddim_sampling_eta: float = 1.0,
                  cond_scale: float = 1.0, attn_mode: str = "local",
-                 seed: int = 1234):
+                 seed: int = 1234, bucket_frames: int = 0):
         self.audio_path = audio_path
         self.image_path = image_path
         self.output_path = output_path
@@ -68,6 +78,12 @@ class VideoGenerator:
         self.cond_scale = cond_scale
         self.attn_mode = attn_mode
         self.seed = seed
+        # XLA compiles one program per video length. bucket_frames > 0 rounds
+        # T up to the next multiple (conditioning padded by repeating the
+        # last frame, output trimmed) so videos of similar length reuse the
+        # compiled program — the XLA-side answer to the reference's
+        # update_num_frames (ca_multi_test.py:959-965). 0 = exact length.
+        self.bucket_frames = bucket_frames
         os.makedirs(cache_path, exist_ok=True)
         os.makedirs(output_path, exist_ok=True)
         self._hubert = None
@@ -218,6 +234,11 @@ class VideoGenerator:
         hubert = hubert[:t]
         pose = np.load(os.path.join(cache, "dri_pose.npy"))[:t]
         blink = np.load(os.path.join(cache, "dri_blink.npy"))[:t]
+
+        if self.bucket_frames > 0:
+            (hubert, pose, blink), _ = pad_to_bucket(
+                (hubert, pose, blink), t, self.bucket_frames,
+                self.max_n_frames)
         try:
             real_pose = np.load(os.path.join(cache, "init_pose.npy"))
             eye_bbox = np.load(os.path.join(cache, "init_eye_bbox.npy"))
@@ -233,7 +254,7 @@ class VideoGenerator:
             init_pose=jnp.asarray(real_pose[:, :6].astype(np.float32)),
             init_eye=jnp.asarray(eye_bbox[:, :2].astype(np.float32)),
             cond_scale=self.cond_scale)
-        frames = np.asarray(out["sample_out_vid"])[0]          # (T, H, W, 3)
+        frames = np.asarray(out["sample_out_vid"])[0][:t]      # (T, H, W, 3)
 
         silent_path = os.path.join(video_dir, f"{name}_silent.mp4")
         writer = cv2.VideoWriter(silent_path, cv2.VideoWriter_fourcc(*"mp4v"),
@@ -286,7 +307,10 @@ def parse_args(argv=None):
     p.add_argument("--pbnet_blink_ckpt", default=None)
     p.add_argument("--dawn_ckpt", default=None)
     p.add_argument("--lfg_ckpt", default=None)
-    p.add_argument("--attn", default="local", choices=["full", "local"])
+    p.add_argument("--attn", default="local", choices=["full", "local", "pallas"])
+    p.add_argument("--bucket_frames", type=int, default=0,
+                   help="round video length up to this multiple so similar-"
+                        "length videos reuse one compiled program (0 = exact)")
     return p.parse_args(argv)
 
 
@@ -299,7 +323,7 @@ def main(argv=None):
         dawn_ckpt=args.dawn_ckpt, lfg_ckpt=args.lfg_ckpt)
     gen = VideoGenerator(args.audio_path, args.image_path, args.output_path,
                          args.cache_path, args.resolution, paths,
-                         attn_mode=args.attn)
+                         attn_mode=args.attn, bucket_frames=args.bucket_frames)
     gen.run()
 
 

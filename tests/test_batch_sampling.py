@@ -96,3 +96,22 @@ def test_lfg_decode_bf16_close_to_f32(model_and_vars):
     assert out["prediction"].dtype == jnp.float32
     err = np.abs(np.asarray(out["prediction"] - ref["prediction"])).mean()
     assert err < 0.02, err
+
+
+def test_chunked_lfg_decode_matches(model_and_vars):
+    """lfg_decode_chunk (the 256^2 HBM-bounding path) is numerically exact."""
+    from dawn_tpu.models.dm.flow_diffusion import FlowDiffusion, FlowDiffusionConfig
+    from dawn_tpu.models.dm.unet3d import Unet3D
+    model, variables = model_and_vars
+    cfg2 = FlowDiffusionConfig(img_size=S, sampling_timesteps=2, win_width=2,
+                               dim_mults=(1, 2), lfg_decode_chunk=3)
+    m2 = FlowDiffusion(cfg2)
+    m2.unet = Unet3D(dim=16, dim_mults=(1, 2), channels=275, cond_pose=6,
+                     win_width=2)
+    x = _batch_inputs(1)
+    o0 = model.sample_one_video(variables, jax.random.PRNGKey(3), x["img"],
+                                x["aud"], x["pose"], x["eye"], x["bbox"])
+    o2 = m2.sample_one_video(variables, jax.random.PRNGKey(3), x["img"],
+                             x["aud"], x["pose"], x["eye"], x["bbox"])
+    np.testing.assert_allclose(np.asarray(o2["sample_out_vid"]),
+                               np.asarray(o0["sample_out_vid"]), atol=1e-5)

@@ -80,3 +80,16 @@ class TestPairAugment:
                                       horizontal_flip=False)
             swapped += int(s.mean() > 0.5)
         assert 10 < swapped < 40   # ~50% swap rate
+
+
+class TestFrameBucketing:
+    def test_pad_to_bucket(self):
+        from dawn_tpu.pipeline.generator import pad_to_bucket
+        a = np.arange(73 * 4, dtype=np.float32).reshape(73, 4)
+        (p,), t_pad = pad_to_bucket([a], 73, 25, 200)
+        assert t_pad == 75 and p.shape == (75, 4)
+        np.testing.assert_array_equal(p[73], a[72])     # edge padding
+        (p,), t_pad = pad_to_bucket([a], 73, 25, 74)    # cap at max_n_frames
+        assert t_pad == 74 and p.shape == (74, 4)
+        (p,), t_pad = pad_to_bucket([a[:50]], 50, 25, 200)  # exact multiple
+        assert t_pad == 50 and p.shape == (50, 4)
