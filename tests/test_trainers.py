@@ -72,6 +72,42 @@ class TestDMTrainer:
         assert (state["ema_params"].unsafe_buffer_pointer()
                 != state["params"].unsafe_buffer_pointer())
 
+    def test_sharded_step_8dev(self):
+        """The DM sharded train step on the ('data', 'seq') = (4, 2) conftest
+        mesh — the in-tree regression guard for __graft_entry__.dryrun_multichip
+        (round-1 failure: the dryrun was the only 8-device exercise of this
+        step and it never ran). Tiny UNet to keep CPU compile time in check."""
+        from dawn_tpu.train.train_dm import DMTrainer, DMTrainConfig
+        from dawn_tpu.models.dm.unet3d import Unet3D
+        from dawn_tpu.parallel.mesh import make_mesh
+
+        cfg = DMTrainConfig(img_size=32, fea_channels=32, color_jitter=False,
+                            ema_decay=None)
+        trainer = DMTrainer(cfg, flow_ae=_tiny_flow_ae())
+        trainer.unet = Unet3D(dim=8, dim_mults=(1, 2),
+                              channels=trainer.in_channels, cond_pose=6,
+                              win_width=2, attn_heads=2, attn_dim_head=8)
+        b, t, s = 4, 4, cfg.img_size
+        r = np.random.RandomState(0)
+        batch = {
+            "video": jnp.asarray(r.rand(b, t, s, s, 3) * 255, jnp.float32),
+            "hubert": jnp.asarray(r.randn(b, t, 1024), jnp.float32),
+            "pose": jnp.asarray(r.randn(b, t, 6), jnp.float32),
+            "blink": jnp.asarray(r.rand(b, t, 2), jnp.float32),
+            "bbox": jnp.asarray(
+                np.tile([s * .25, s * .75, s * .25, s * .75, s, s], (b, 1)),
+                jnp.float32),
+            "mouth_lmk": jnp.asarray(r.rand(b, t, 19, 2) * s, jnp.float32),
+        }
+        mesh = make_mesh(8, seq_parallel=2)
+        with mesh:
+            state = trainer.init_state(jax.random.PRNGKey(0), num_frames=t)
+            step = trainer.make_sharded_step(mesh)
+            new_state, metrics = step(state, jax.random.PRNGKey(1), batch)
+            metrics = jax.device_get(metrics)
+        assert np.isfinite(metrics["total"])
+        assert float(metrics["grads_finite"]) == 1.0
+
     def test_snapshot_panels(self, dm_setup):
         trainer, state, batch = dm_setup
         snaps = trainer.snapshot(state, jax.random.PRNGKey(2), batch,
