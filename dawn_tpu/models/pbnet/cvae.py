@@ -20,34 +20,51 @@ from dawn_tpu.models.pbnet.architectures import (
     DecoderFC, DecoderGRU, DecoderTransformerReemb6,
     EncoderFC, EncoderGRU, EncoderTransformerReemb6,
 )
+from dawn_tpu.models.pbnet.architectures_vanilla import (
+    DecoderAutotransAudio, DecoderMLP, DecoderTransformer, EncoderMLP,
+)
 
-# the reference registry (get_model.py:16). The reemb5/6 family is what the
-# released checkpoints use: reemb5 = joint pose+eye with a ±200 eval window,
-# reemb6 = separate pose / blink with a ±100 window; reemb7/8 (whose modules
-# are absent from the reference repo — the shipped run script names reemb8,
-# run_cvae_h_ann_reemb_rope_eye_3.sh:17) resolve to reemb6-compatible builds.
-# 'gru' / 'fc' are the ablation alternatives, adapted to the audio interface.
-ARCHINAMES = ("fc", "gru", "transformer", "transformerreemb5",
+# the reference registry (get_model.py:16) plus 'mlp' (mlp.py exists in the
+# reference architectures dir and loads through its importlib factory even
+# though it is missing from the ARCHINAMES constant). The reemb5/6 family is
+# what the released checkpoints use: reemb5 = joint pose+eye with a ±200 eval
+# window, reemb6 = separate pose / blink with a ±100 window; reemb7/8 /
+# transformermel (whose modules are ABSENT from the reference repo — the
+# shipped run script names reemb8, run_cvae_h_ann_reemb_rope_eye_3.sh:17)
+# resolve to reemb6-compatible builds: there is nothing upstream to port, and
+# a reemb8 checkpoint's opt.yaml carries reemb6-family hyperparameters.
+ARCHINAMES = ("fc", "gru", "mlp", "transformer", "transformerreemb5",
               "transformerreemb6", "transformerreemb7", "transformerreemb8",
               "transformermel", "transgru", "grutrans", "autotrans")
 MODELTYPES = ("cae", "cvae")
 
-# archiname -> (encoder cls, decoder cls, eval-time attention window)
+# archiname -> (encoder cls, decoder cls, eval window, latent contract).
+# latent contract: 'frame' = per-frame z (B, T, latent_dim); 'seq' = one
+# sequence-level z whose width is named by the 5th element.
 _ARCH_TABLE = {
-    "transformerreemb5": (EncoderTransformerReemb6, DecoderTransformerReemb6, 200),
-    "transformerreemb6": (EncoderTransformerReemb6, DecoderTransformerReemb6, 100),
-    "transformerreemb7": (EncoderTransformerReemb6, DecoderTransformerReemb6, 100),
-    "transformerreemb8": (EncoderTransformerReemb6, DecoderTransformerReemb6, 100),
-    "gru": (EncoderGRU, DecoderGRU, None),
-    "fc": (EncoderFC, DecoderFC, None),
-    # remaining registry names resolve to the nearest implemented family
-    # (the reference's own modules for these are ACTOR leftovers or absent)
-    "transformer": (EncoderTransformerReemb6, DecoderTransformerReemb6, None),
-    "transformermel": (EncoderTransformerReemb6, DecoderTransformerReemb6, None),
-    "autotrans": (EncoderTransformerReemb6, DecoderTransformerReemb6, None),
-    "transgru": (EncoderGRU, DecoderGRU, None),
-    "grutrans": (EncoderGRU, DecoderGRU, None),
+    "transformerreemb5": (EncoderTransformerReemb6, DecoderTransformerReemb6, 200, "frame", None),
+    "transformerreemb6": (EncoderTransformerReemb6, DecoderTransformerReemb6, 100, "frame", None),
+    "transformerreemb7": (EncoderTransformerReemb6, DecoderTransformerReemb6, 100, "frame", None),
+    "transformerreemb8": (EncoderTransformerReemb6, DecoderTransformerReemb6, 100, "frame", None),
+    "gru": (EncoderGRU, DecoderGRU, None, "frame", None),
+    "fc": (EncoderFC, DecoderFC, None, "frame", None),
+    # faithful ports of the reference ablation modules (architectures_vanilla)
+    "transformer": (EncoderTransformerReemb6, DecoderTransformer, None, "frame", None),
+    "mlp": (EncoderMLP, DecoderMLP, None, "seq", "ff_size"),
+    "autotrans": (EncoderTransformerReemb6, DecoderAutotransAudio, None, "frame", None),
+    # upstream transgru.py / grutrans.py pair an audio-interface half with an
+    # ACTOR class-interface half and are not runnable on DAWN data as-is
+    # (DEVIATIONS.md); the factory pairs the DAWN-compatible halves instead.
+    "transgru": (EncoderTransformerReemb6, DecoderGRU, None, "frame", None),
+    "grutrans": (EncoderGRU, DecoderTransformer, None, "frame", None),
+    # module absent upstream; reemb6-compatible build (see ARCHINAMES note)
+    "transformermel": (EncoderTransformerReemb6, DecoderTransformerReemb6, None, "frame", None),
 }
+
+
+def _filter_kwargs(cls, kw):
+    names = {f.name for f in dataclasses.fields(cls)}
+    return {k: v for k, v in kw.items() if k in names}
 
 
 def parse_modelname(modelname: str):
@@ -78,6 +95,7 @@ class PBnetParams:
     max_distance: int = 128
     dropout: float = 0.1
     archiname: str = "transformerreemb6"
+    num_frames: int = 40           # fixed seq_len (only the mlp arch uses it)
     lambdas: Mapping[str, float] = dataclasses.field(
         default_factory=lambda: {"rc": 1.0, "kl": 1.0, "reg": 0.1})
 
@@ -103,6 +121,7 @@ class PBnetParams:
             max_distance=int(g("max_distance", 128)),
             dropout=float(g("dropout", 0.1)),
             archiname=g("archiname", "transformerreemb6"),
+            num_frames=int(g("num_frames", 40)),
             lambdas=g("lambdas", {"rc": 1.0, "kl": 1.0, "reg": 0.1}),
         )
 
@@ -122,26 +141,39 @@ class CVAE:
 
     def __init__(self, params: PBnetParams, deterministic: bool = True):
         if params.archiname not in ARCHINAMES:
-            raise NotImplementedError(params.archiname)
+            raise NotImplementedError(
+                f"archiname {params.archiname!r} is not in the reference "
+                f"registry {ARCHINAMES}")
         self.hp = params
         self.deterministic = deterministic
-        enc_cls, dec_cls, eval_window = _ARCH_TABLE[params.archiname]
+        enc_cls, dec_cls, eval_window, self.latent_kind, lat_attr = \
+            _ARCH_TABLE[params.archiname]
         kw = dict(pos_dim=params.feature_dim, audio_dim=params.audio_dim,
                   pose_latent_dim=params.pose_latent_dim,
                   audio_latent_dim=params.latent_dim, ff_size=params.ff_size,
                   num_layers=params.num_layers, num_heads=params.num_heads,
-                  dropout=params.dropout, deterministic=deterministic)
-        self.encoder = enc_cls(**kw)
-        self.decoder = dec_cls(
-            num_buckets=params.num_buckets, max_distance=params.max_distance,
-            eval_window=eval_window, **kw)
+                  dropout=params.dropout, deterministic=deterministic,
+                  num_frames=params.num_frames,
+                  num_buckets=params.num_buckets,
+                  max_distance=params.max_distance, eval_window=eval_window)
+        self.encoder = enc_cls(**_filter_kwargs(enc_cls, kw))
+        self.decoder = dec_cls(**_filter_kwargs(dec_cls, kw))
+        self.latent_width = (params.latent_dim if lat_attr is None
+                             else getattr(params, lat_attr))
+
+    def _z_shape(self, b: int, t: int) -> Tuple[int, ...]:
+        if self.latent_kind == "seq":
+            return (b, self.latent_width)
+        return (b, t, self.latent_width)
 
     def init_variables(self, rng: jax.Array, num_frames: int = 8) -> Dict[str, Any]:
+        if self.hp.archiname == "mlp":
+            num_frames = self.hp.num_frames   # the mlp arch is fixed-length
         r1, r2 = jax.random.split(rng)
         d = self.hp.feature_dim
         x = jnp.zeros((1, num_frames, d))
         y = jnp.zeros((1, num_frames, self.hp.audio_dim))
-        z = jnp.zeros((1, num_frames, self.hp.latent_dim))
+        z = jnp.zeros(self._z_shape(1, num_frames))
         enc = self.encoder.init(r1, x, y)
         dec = self.decoder.init(r2, x, z, y)
         return {"encoder": enc, "decoder": dec}
@@ -180,8 +212,20 @@ class CVAE:
         mask = None
         if lengths is not None:
             mask = jnp.arange(t)[None, :] < lengths[:, None]
-        z = fact * jax.random.normal(rng, (b, t, self.hp.latent_dim))
+        z = fact * jax.random.normal(rng, self._z_shape(b, t))
         x = jnp.broadcast_to(init_state[:, None], (b, t, init_state.shape[-1]))
+        if self.hp.archiname == "autotrans":
+            # the ACTOR decoder generates autoregressively (autotrans.py:156)
+            from dawn_tpu.models.pbnet.architectures_vanilla import (
+                DecoderAutotransAudio, make_autotrans_core)
+            m = mask if mask is not None else jnp.ones((b, t), bool)
+            zm, yv, lengths = self.decoder.apply(
+                variables["decoder"], z, audio, m,
+                method=DecoderAutotransAudio.prep)
+            core = make_autotrans_core(self.decoder)
+            core_vars = {"params": variables["decoder"]["params"]["core"]}
+            return core.generate(core_vars, zm, yv, m, lengths).reshape(
+                b, t, -1)
         return self.decode(variables, x, z, audio, mask)
 
     # ---------------------------------------------------------------- losses
@@ -209,8 +253,14 @@ class CVAE:
         for name in hp.lambdas:
             if name == "kl":
                 anneal = float(np.clip((epoch - 1e4) / 1e4, 0.0, 1.0))
-                losses["kl"] = anneal * L.kl_loss(
-                    batch_out["mu"], batch_out["logvar"], m)
+                if batch_out["mu"].ndim == 2:   # sequence-level latent (mlp)
+                    kl = -0.5 * (1.0 + batch_out["logvar"]
+                                 - jnp.square(batch_out["mu"])
+                                 - jnp.exp(batch_out["logvar"]))
+                    losses["kl"] = anneal * kl.mean()
+                else:
+                    losses["kl"] = anneal * L.kl_loss(
+                        batch_out["mu"], batch_out["logvar"], m)
             elif name == "mmd":
                 losses["mmd"] = L.mmd_loss(batch_out["z"], rng)
             elif name == "hp":

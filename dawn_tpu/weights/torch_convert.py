@@ -299,21 +299,20 @@ def _rotary_attn(sd, pfx):
             "to_out": _linear(sd, f"{pfx}.to_out", bias=False)}
 
 
-def convert_pbnet(sd: Mapping[str, Any], num_layers: int = 2) -> Dict[str, Any]:
-    """PBnet CVAE state_dict (encoder.* / decoder.*) -> CVAE variables.
-
-    Layout follows transformerreemb6.py + transformerdecoder5.py module names;
-    the unused sinusoidal 'pe' buffers are recomputed, not loaded.
-    """
+def convert_pbnet_encoder_transformer(sd: Mapping[str, Any], prefix: str = "",
+                                      num_layers: int = 2) -> Dict[str, Any]:
+    """Encoder_TRANSFORMERREEMB6 / Encoder_TRANSFORMER (identical layouts:
+    transformerreemb6.py:146, transformer.py:83) -> EncoderTransformerReemb6
+    params."""
     enc: Dict[str, Any] = {
-        "firstposeEmbedding": _linear(sd, "encoder.firstposeEmbedding"),
-        "poseEmbedding": _linear(sd, "encoder.poseEmbedding"),
-        "audioEmbedding": _linear(sd, "encoder.audioEmbedding"),
-        "mu_layer": _linear(sd, "encoder.mu_layer"),
-        "sigma_layer": _linear(sd, "encoder.sigma_layer"),
+        "firstposeEmbedding": _linear(sd, f"{prefix}firstposeEmbedding"),
+        "poseEmbedding": _linear(sd, f"{prefix}poseEmbedding"),
+        "audioEmbedding": _linear(sd, f"{prefix}audioEmbedding"),
+        "mu_layer": _linear(sd, f"{prefix}mu_layer"),
+        "sigma_layer": _linear(sd, f"{prefix}sigma_layer"),
     }
     for i in range(num_layers):
-        p = f"encoder.seqTransEncoder.layers.{i}"
+        p = f"{prefix}seqTransEncoder.layers.{i}"
         enc[f"layers_{i}"] = {
             "in_proj": {"kernel": jnp.asarray(_np(sd[f"{p}.self_attn.in_proj_weight"]).T),
                         "bias": jnp.asarray(_np(sd[f"{p}.self_attn.in_proj_bias"]))},
@@ -323,6 +322,16 @@ def convert_pbnet(sd: Mapping[str, Any], num_layers: int = 2) -> Dict[str, Any]:
             "norm1": _torch_ln(sd, f"{p}.norm1"),
             "norm2": _torch_ln(sd, f"{p}.norm2"),
         }
+    return enc
+
+
+def convert_pbnet(sd: Mapping[str, Any], num_layers: int = 2) -> Dict[str, Any]:
+    """PBnet CVAE state_dict (encoder.* / decoder.*) -> CVAE variables.
+
+    Layout follows transformerreemb6.py + transformerdecoder5.py module names;
+    the unused sinusoidal 'pe' buffers are recomputed, not loaded.
+    """
+    enc = convert_pbnet_encoder_transformer(sd, "encoder.", num_layers)
 
     dec: Dict[str, Any] = {
         "firstposeEmbedding": _linear(sd, "decoder.firstposeEmbedding"),
@@ -360,3 +369,123 @@ def convert_pbnet(sd: Mapping[str, Any], num_layers: int = 2) -> Dict[str, Any]:
 def convert_pbnet_checkpoint(path: str, num_layers: int = 2) -> Dict[str, Any]:
     """PBnet checkpoint_*.pth.tar (bare state_dict) -> CVAE variables."""
     return convert_pbnet(sd_numpy(load_torch_file(path)), num_layers)
+
+
+# ------------------------------------------------- PBnet ablation archs
+
+def _torch_mha(sd, pfx):
+    """torch nn.MultiheadAttention packed layout -> _TorchMHA params."""
+    return {"in_proj_weight": jnp.asarray(_np(sd[f"{pfx}.in_proj_weight"])),
+            "in_proj_bias": jnp.asarray(_np(sd[f"{pfx}.in_proj_bias"])),
+            "out_proj": _linear(sd, f"{pfx}.out_proj")}
+
+
+def convert_pbnet_decoder_transformer(sd: Mapping[str, Any], prefix: str = "",
+                                      num_layers: int = 2) -> Dict[str, Any]:
+    """Decoder_TRANSFORMER (transformer.py:170) -> DecoderTransformer params."""
+    p = lambda n: f"{prefix}{n}"
+    dec: Dict[str, Any] = {
+        "firstposeEmbedding": _linear(sd, p("firstposeEmbedding")),
+        "audioEmbedding": _linear(sd, p("audioEmbedding")),
+        "ztimelinear": _linear(sd, p("ztimelinear")),
+        "finallayer": _linear(sd, p("finallayer")),
+    }
+    for i in range(num_layers):
+        q = p(f"seqTransDecoder.layers.{i}")
+        dec[f"layers_{i}"] = {
+            "self_attn": _torch_mha(sd, f"{q}.self_attn"),
+            "multihead_attn": _torch_mha(sd, f"{q}.multihead_attn"),
+            "linear1": _linear(sd, f"{q}.linear1"),
+            "linear2": _linear(sd, f"{q}.linear2"),
+            "norm1": _torch_ln(sd, f"{q}.norm1"),
+            "norm2": _torch_ln(sd, f"{q}.norm2"),
+            "norm3": _torch_ln(sd, f"{q}.norm3"),
+        }
+    return dec
+
+
+def _resunet(sd, pfx):
+    """mlp.py ResUnet state_dict -> flax ResUnet (params, batch_stats)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put(name, p, s=None):
+        params[name] = p
+        if s is not None:
+            stats[name] = s
+
+    def res_block(dst, src):
+        pp, ss = {}, {}
+        for bn_dst, bn_src in (("bn1", "conv_block.0"), ("bn2", "conv_block.3"),
+                               ("bn_skip", "conv_skip.1")):
+            pp[bn_dst], ss[bn_dst] = _bn(sd, f"{pfx}.{src}.{bn_src}")
+        pp["conv1"] = _conv2d(sd, f"{pfx}.{src}.conv_block.2")
+        pp["conv2"] = _conv2d(sd, f"{pfx}.{src}.conv_block.5")
+        pp["skip_conv"] = _conv2d(sd, f"{pfx}.{src}.conv_skip.0")
+        params[dst], stats[dst] = pp, ss
+
+    put("in_conv1", _conv2d(sd, f"{pfx}.input_layer.0"))
+    pbn, sbn = _bn(sd, f"{pfx}.input_layer.1")
+    put("in_bn", pbn, sbn)
+    put("in_conv2", _conv2d(sd, f"{pfx}.input_layer.3"))
+    put("in_skip", _conv2d(sd, f"{pfx}.input_skip.0"))
+    res_block("res1", "residual_conv_1")
+    res_block("res2", "residual_conv_2")
+    res_block("bridge", "bridge")
+    for i in (1, 2, 3):
+        w = _np(sd[f"{pfx}.upsample_{i}.upsample.weight"])    # (I, O, kh, kw)
+        # same recipe as _conv_transpose3d_flipped: HWIO + spatial flip makes
+        # flax ConvTranspose (transpose_kernel=False) match torch exactly
+        wk = np.transpose(w, (2, 3, 0, 1))[::-1, ::-1]
+        params[f"up{i}"] = {
+            "kernel": jnp.asarray(np.ascontiguousarray(wk)),
+            "bias": jnp.asarray(_np(sd[f"{pfx}.upsample_{i}.upsample.bias"]))}
+        res_block(f"upres{i}", f"up_residual_conv{i}")
+    put("out_conv", _conv2d(sd, f"{pfx}.output_layer.0"))
+    return params, stats
+
+
+def convert_pbnet_mlp(sd: Mapping[str, Any], who: str = "encoder") -> Dict[str, Any]:
+    """Encoder_MLP / Decoder_MLP (mlp.py:176,232) -> flax variables
+    {'params', 'batch_stats'}. `sd` keys are unprefixed module names."""
+    rp, rs = _resunet(sd, "resunet")
+    params: Dict[str, Any] = {"resunet": rp,
+                              "linear_audio": _linear(sd, "linear_audio"),
+                              "mlp_l0": _linear(sd, "MLP.L0")}
+    if who == "encoder":
+        params["linear_means"] = _linear(sd, "linear_means")
+        # linear_logvar exists in the checkpoint but is unused (mlp.py:225)
+    else:
+        params["mlp_l1"] = _linear(sd, "MLP.L1")
+        params["pose_linear"] = _linear(sd, "pose_linear")
+    return {"params": params, "batch_stats": {"resunet": rs}}
+
+
+def convert_pbnet_autotrans(sd: Mapping[str, Any],
+                            num_layers: int = 2) -> Dict[str, Any]:
+    """Decoder_AUTOTRANS (autotrans.py:60) -> DecoderAutotrans params."""
+
+    def joey_mha(pfx):
+        return {"k_layer": _linear(sd, f"{pfx}.k_layer"),
+                "v_layer": _linear(sd, f"{pfx}.v_layer"),
+                "q_layer": _linear(sd, f"{pfx}.q_layer"),
+                "output_layer": _linear(sd, f"{pfx}.output_layer")}
+
+    dec: Dict[str, Any] = {
+        "embedding": _linear(sd, "embedding"),
+        "embedding_x": _linear(sd, "embedding_x"),
+        "layer_norm": _torch_ln(sd, "layer_norm"),
+        "output_layer": _linear(sd, "output_layer", bias=False),
+    }
+    for i in range(num_layers):
+        q = f"layers.{i}"
+        dec[f"layers_{i}"] = {
+            "trg_trg_att": joey_mha(f"{q}.trg_trg_att"),
+            "src_trg_att": joey_mha(f"{q}.src_trg_att"),
+            "x_layer_norm": _torch_ln(sd, f"{q}.x_layer_norm"),
+            "dec_layer_norm": _torch_ln(sd, f"{q}.dec_layer_norm"),
+            "ff_layer_norm": _torch_ln(sd, f"{q}.feed_forward.layer_norm"),
+            "ff_linear1": _linear(sd, f"{q}.feed_forward.pwff_layer.0"),
+            "ff_linear2": _linear(sd, f"{q}.feed_forward.pwff_layer.3"),
+        }
+    return dec

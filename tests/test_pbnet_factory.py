@@ -39,28 +39,38 @@ def test_get_model_lambdas():
 def test_arch_forward_and_generate(arch):
     # reemb5 drives the joint 8-d (pose+eye) checkpoints
     dims = (6, 2) if arch == "transformerreemb5" else (6, 0)
+    # the mlp arch is fixed-length with a /8-strided ResUnet over frames
+    t = 16 if arch == "mlp" else T
     hp = PBnetParams(pos_dim=dims[0], eye_dim=dims[1], archiname=arch,
-                     num_layers=1, dropout=0.0)
+                     num_layers=1, dropout=0.0, num_frames=t)
     model = CVAE(hp, deterministic=True)
     rng = jax.random.PRNGKey(0)
-    variables = model.init_variables(rng, num_frames=T)
+    variables = model.init_variables(rng, num_frames=t)
 
     d = hp.feature_dim
-    x = jnp.asarray(np.random.RandomState(0).randn(B, T, d), jnp.float32)
-    y = jnp.asarray(np.random.RandomState(1).randn(B, T, 1024), jnp.float32)
+    x = jnp.asarray(np.random.RandomState(0).randn(B, t, d), jnp.float32)
+    y = jnp.asarray(np.random.RandomState(1).randn(B, t, 1024), jnp.float32)
 
     out = model.forward(variables, rng, x, y)
-    assert out["output"].shape == (B, T, d)
-    assert out["mu"].shape == (B, T, hp.latent_dim)
+    assert out["output"].shape == (B, t, d)
+    if model.latent_kind == "seq":
+        assert out["mu"].shape == (B, model.latent_width)
+    else:
+        assert out["mu"].shape == (B, t, hp.latent_dim)
 
     gen = model.generate(variables, rng, x[:, 0], y)
-    assert gen.shape == (B, T, d)
+    assert gen.shape == (B, t, d)
     assert np.isfinite(np.asarray(gen)).all()
 
     mixed, losses = model.compute_loss(out, out["x_delta"], None, epoch=20000,
                                        rng=rng)
     assert np.isfinite(float(mixed))
     assert set(losses) == set(hp.lambdas) | {"mixed"}
+
+
+def test_unknown_archiname_raises():
+    with pytest.raises(NotImplementedError):
+        CVAE(PBnetParams(archiname="resnet34"))
 
 
 def test_full_loss_registry_through_compute_loss():
