@@ -62,6 +62,13 @@ class DMTrainConfig:
     fea_channels: int = 256   # LFG bottleneck width (min(max_features, be*4))
     pose_dim: int = 6
     win_width: int = 40
+    stage: int = 1            # 1: fixed clips, ref = frame 0 INCLUDED in the
+                              # diffused video (train...6D.py); 2: frame 0 is
+                              # split off as the init condition and ONLY
+                              # frames 1: are diffused (rand_6D.py:249-250),
+                              # with per-step random clip lengths 30-40
+                              # sampled by the train script via length
+                              # buckets (train..._s2.py:281-292)
     lr: float = 2e-4
     total_steps: int = 250_000
     grad_clip: float = 2.0
@@ -140,23 +147,44 @@ class DMTrainer:
         return {"params": self._unravel(state["params"])}
 
     # ----------------------------------------------------------------- loss
-    def loss_fn(self, params, frozen, rng, batch) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-        """batch: video (B,T,H,W,3) in [0,255], hubert (B,T,1024),
-        pose (B,T,P), blink (B,T,2), bbox (B,6), mouth_lmk (B,T,K,2)."""
-        cfg = self.config
-        rng_jit, rng_diff = jax.random.split(rng)
+    def prepare_inputs(self, rng_jit, batch):
+        """(jittered) video/cond/mouth_lmk with the stage's frame-0 handling.
 
+        Stage 1: the reference frame is frame 0 of the SAME clip that gets
+        diffused (mouth_mask_6D.py). Stage 2: frame 0 is split off as the
+        init condition — ref_img = vid[:, 0], diffused video = vid[:, 1:],
+        condition rows 1: (deltas still vs frame 0), and the mouth landmarks
+        keep the reference's own off-by-one slice mouth_lmk[:, :t-1]
+        (train..._s2.py:290 slices :selct_frames-1, i.e. frames 0..t-2).
+        """
+        cfg = self.config
         video = batch["video"].astype(jnp.float32) / 255.0
         if cfg.color_jitter:
             video = color_jitter_video(rng_jit, video)
         ref_img = video[:, 0]
-        b, t = video.shape[0], video.shape[1]
 
         # condition: audio ++ delta pose ++ delta blink vs frame 0 (:225-240)
         pose = batch["pose"][..., : cfg.pose_dim]
         blink = batch["blink"]
         cond = jnp.concatenate(
             [batch["hubert"], pose - pose[:, :1], blink - blink[:, :1]], axis=-1)
+        mouth_lmk = batch.get("mouth_lmk")
+
+        if cfg.stage == 2:
+            video = video[:, 1:]
+            cond = cond[:, 1:]
+            if mouth_lmk is not None:
+                mouth_lmk = mouth_lmk[:, :-1]
+        return video, ref_img, cond, mouth_lmk
+
+    def loss_fn(self, params, frozen, rng, batch) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        """batch: video (B,T,H,W,3) in [0,255], hubert (B,T,1024),
+        pose (B,T,P), blink (B,T,2), bbox (B,6), mouth_lmk (B,T,K,2)."""
+        cfg = self.config
+        rng_jit, rng_diff = jax.random.split(rng)
+
+        video, ref_img, cond, mouth_lmk = self.prepare_inputs(rng_jit, batch)
+        b, t = video.shape[0], video.shape[1]
 
         # frozen LFG teacher -> GT flow/occlusion + ref feature (no grad)
         teacher = jax.lax.stop_gradient(
@@ -189,8 +217,8 @@ class DMTrainer:
         else:
             floss = jnp.square(pred_x0 - x_start).mean()
 
-        if "mouth_lmk" in batch:
-            mmask = generate_mouth_mask(batch["mouth_lmk"], ls, cfg.img_size)
+        if mouth_lmk is not None:
+            mmask = generate_mouth_mask(mouth_lmk, ls, cfg.img_size)
             denom = jnp.maximum(mmask.sum(), 1.0)
             mouth_loss = (loss_elem * mmask).sum() / denom
         else:

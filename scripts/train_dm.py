@@ -60,6 +60,7 @@ def main():
     cfg = DMTrainConfig(
         img_size=cfg_yaml["img_size"],
         win_width=cfg_yaml.get("win_width", 20),
+        stage=args.stage,
         lr=cfg_yaml["lr"], total_steps=cfg_yaml["total_steps"],
         grad_clip=cfg_yaml["grad_clip"],
         floss_weight=cfg_yaml["floss_weight"],
@@ -67,14 +68,25 @@ def main():
         null_cond_prob=cfg_yaml["null_cond_prob"])
     trainer = DMTrainer(cfg)
 
+    # stage 2: per-step random clip length 30-40 diffused frames
+    # (train..._s2.py:281-292 samples randint(30, 40) + 1 total frames) —
+    # quantized to a small set of length BUCKETS so XLA compiles one program
+    # per bucket instead of one per length (same trick as the inference
+    # frame bucketing, pipeline/generator.py:81-86).
     if args.stage == 2:
-        num_frames = cfg_yaml.get("num_frames_max", 40)
+        s2_min = cfg_yaml.get("num_frames_min", 30)
+        s2_max = cfg_yaml.get("num_frames_max", 40)
+        s2_buckets = sorted(set(
+            cfg_yaml.get("frame_buckets", [s2_min, (s2_min + s2_max) // 2,
+                                           s2_max])))
+        num_frames = s2_max + 1           # dataset clips carry frame 0 too
     else:
         num_frames = cfg_yaml.get("num_frames", 20)
     dataset = HDTFVideoDataset(args.frames_dir, args.hubert_dir, args.pose_dir,
                                args.eye_dir, args.length_dict,
                                lmk_dir=args.lmk_dir, num_frames=num_frames)
-    print(f"dataset: {len(dataset)} videos, {num_frames} frames/clip")
+    print(f"dataset: {len(dataset)} videos, {num_frames} frames/clip"
+          + (f", stage-2 buckets {s2_buckets}" if args.stage == 2 else ""))
 
     n_dev = len(jax.devices())
     mesh = make_mesh(seq_parallel=2 if n_dev % 2 == 0 and n_dev > 1 else 1)
@@ -101,9 +113,19 @@ def main():
     meters = {k: AverageMeter(k) for k in ("total", "loss", "floss", "mouth_loss")}
     metrics_log = open(os.path.join(args.workdir, "metrics.jsonl"), "a")
 
+    rng_len = np.random.RandomState(cfg_yaml.get("random_seed", 1234))
+    _TIME_KEYS = ("video", "hubert", "pose", "blink", "mouth_lmk")
+
     t0 = time.time()
     with mesh:
         for step, batch in enumerate(dataset.batches(bs, total - start), start):
+            if args.stage == 2:
+                # diffused length ~ U[min, max], snapped to a bucket; +1 for
+                # the split-off init frame
+                want = rng_len.randint(s2_min, s2_max + 1)
+                L = min(s2_buckets, key=lambda q: abs(q - want))
+                batch = {k: (v[:, : L + 1] if k in _TIME_KEYS else v)
+                         for k, v in batch.items()}
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             load_t = time.time() - t0
             if load_t > 1.0:

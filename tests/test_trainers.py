@@ -72,6 +72,69 @@ class TestDMTrainer:
         assert (state["ema_params"].unsafe_buffer_pointer()
                 != state["params"].unsafe_buffer_pointer())
 
+    def test_stage2_frame0_split(self):
+        """Stage 2: frame 0 is the init condition, NOT part of the diffused
+        clip (rand_6D.py:249-250); condition rows drop frame 0 but keep the
+        frame-0 deltas; mouth landmarks keep the reference's :t-1 slice
+        (train..._s2.py:290)."""
+        from dawn_tpu.train.train_dm import DMTrainer, DMTrainConfig
+
+        cfg = DMTrainConfig(img_size=32, fea_channels=32, color_jitter=False,
+                            stage=2, ema_decay=None)
+        trainer = DMTrainer(cfg, flow_ae=_tiny_flow_ae())
+        b, t, s = 1, 5, cfg.img_size
+        r = np.random.RandomState(3)
+        batch = {
+            "video": jnp.asarray(r.rand(b, t, s, s, 3) * 255, jnp.float32),
+            "hubert": jnp.asarray(r.randn(b, t, 1024), jnp.float32),
+            "pose": jnp.asarray(r.randn(b, t, 6), jnp.float32),
+            "blink": jnp.asarray(r.rand(b, t, 2), jnp.float32),
+            "mouth_lmk": jnp.asarray(r.rand(b, t, 19, 2) * s, jnp.float32),
+        }
+        video, ref_img, cond, mouth = trainer.prepare_inputs(
+            jax.random.PRNGKey(0), batch)
+        assert video.shape[1] == t - 1
+        assert np.allclose(np.asarray(ref_img),
+                           np.asarray(batch["video"][:, 0]) / 255.0)
+        assert np.allclose(np.asarray(video[:, 0]),
+                           np.asarray(batch["video"][:, 1]) / 255.0)
+        # condition row i corresponds to frame i+1, deltas still vs frame 0
+        exp_dpose = np.asarray(batch["pose"][:, 2] - batch["pose"][:, 0])
+        assert np.allclose(np.asarray(cond[:, 1, 1024:1030]), exp_dpose,
+                           atol=1e-6)
+        assert mouth.shape[1] == t - 1
+        assert np.allclose(np.asarray(mouth),
+                           np.asarray(batch["mouth_lmk"][:, :-1]))
+
+    def test_stage2_loss_shapes(self):
+        """A full stage-2 train step runs and the UNet sees t-1 frames."""
+        from dawn_tpu.train.train_dm import DMTrainer, DMTrainConfig
+        from dawn_tpu.models.dm.unet3d import Unet3D
+
+        cfg = DMTrainConfig(img_size=32, fea_channels=32, color_jitter=False,
+                            stage=2, ema_decay=None)
+        trainer = DMTrainer(cfg, flow_ae=_tiny_flow_ae())
+        trainer.unet = Unet3D(dim=8, dim_mults=(1, 2),
+                              channels=trainer.in_channels, cond_pose=6,
+                              win_width=2, attn_heads=2, attn_dim_head=8)
+        b, t, s = 1, 4, cfg.img_size
+        r = np.random.RandomState(4)
+        batch = {
+            "video": jnp.asarray(r.rand(b, t, s, s, 3) * 255, jnp.float32),
+            "hubert": jnp.asarray(r.randn(b, t, 1024), jnp.float32),
+            "pose": jnp.asarray(r.randn(b, t, 6), jnp.float32),
+            "blink": jnp.asarray(r.rand(b, t, 2), jnp.float32),
+            "bbox": jnp.asarray(
+                np.tile([s * .25, s * .75, s * .25, s * .75, s, s], (b, 1)),
+                jnp.float32),
+            "mouth_lmk": jnp.asarray(r.rand(b, t, 19, 2) * s, jnp.float32),
+        }
+        state = trainer.init_state(jax.random.PRNGKey(0), num_frames=t - 1)
+        new_state, metrics = trainer.train_step(state, jax.random.PRNGKey(1),
+                                                batch)
+        assert np.isfinite(float(metrics["total"]))
+        assert float(metrics["mouth_loss"]) > 0.0
+
     def test_sharded_step_8dev(self):
         """The DM sharded train step on the ('data', 'seq') = (4, 2) conftest
         mesh — the in-tree regression guard for __graft_entry__.dryrun_multichip
