@@ -76,15 +76,27 @@ class PBnetTrainer:
 
     # ----------------------------------------------------------------- loss
     def g_loss(self, g_flat, d_flat, rng, batch, epoch):
-        """CVAE mixed loss + generator GAN loss (trainer_gan_ann.py:27-63)."""
+        """CVAE mixed loss + generator GAN loss (trainer_gan_ann.py:27-63).
+
+        batch may carry 'lengths' (B,) from collate_padded: losses are then
+        masked to valid frames (reference computes on x[mask],
+        tools/losses.py:9-21) and the decoder zeroes padded outputs exactly
+        like the torch modules do (output[~mask] = 0).
+        """
         gvars = self._g_unravel(g_flat)
         dvars = self._d_unravel(d_flat)
         x, y = batch["x"], batch["hubert"]
+        mask = None
+        if "lengths" in batch:
+            mask = jnp.arange(x.shape[1])[None, :] < batch["lengths"][:, None]
         r1, r2 = jax.random.split(rng)
         out = self.model.forward(
-            {k: v for k, v in gvars.items()}, r1, x, y)
+            {k: v for k, v in gvars.items()}, r1, x, y, mask)
         x_delta = x - x[:, :1]
-        mixed, losses = self.model.compute_loss(out, x_delta, None, epoch)
+        if mask is not None:
+            x_delta = x_delta * mask[..., None]   # collate zero-pads x; keep
+                                                  # real/fake identically padded
+        mixed, losses = self.model.compute_loss(out, x_delta, mask, epoch)
         fake_logits = self.disc.apply(dvars, out["output"])
         g_gan = optax.sigmoid_binary_cross_entropy(
             fake_logits, jnp.ones_like(fake_logits)).mean()
@@ -107,6 +119,10 @@ class PBnetTrainer:
         g = state["g"] + gu
 
         x_delta = batch["x"] - batch["x"][:, :1]
+        if "lengths" in batch:
+            m = (jnp.arange(x_delta.shape[1])[None, :]
+                 < batch["lengths"][:, None])
+            x_delta = x_delta * m[..., None]
         d_total, d_grads = jax.value_and_grad(self.d_loss)(
             state["d"], x_delta, fake)
         du, opt_d = self.tx_d.update(d_grads, state["opt_d"], state["d"])
@@ -118,9 +134,12 @@ class PBnetTrainer:
         return {"g": g, "d": d, "opt_g": opt_g, "opt_d": opt_d,
                 "step": state["step"] + 1}, metrics
 
-    def make_sharded_step(self, mesh: Mesh):
+    def make_sharded_step(self, mesh: Mesh, with_lengths: bool = False):
         rep = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
+        batch_sh = {"x": data, "hubert": data}
+        if with_lengths:
+            batch_sh["lengths"] = data
         return jax.jit(self.train_step,
-                       in_shardings=(rep, rep, {"x": data, "hubert": data}),
+                       in_shardings=(rep, rep, batch_sh),
                        static_argnums=(3,), donate_argnums=(0,))

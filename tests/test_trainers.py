@@ -225,3 +225,44 @@ class TestPBnetTrainer:
             new_state, metrics = step(state, jax.random.PRNGKey(1), batch, 0)
         assert np.isfinite(float(metrics["g_total"]))
         assert np.isfinite(float(metrics["d_loss"]))
+
+    def test_ragged_batch_masked(self):
+        """Variable-length padded batches (reference collate design,
+        tensors_eye.py:23-44): losses must be computed on valid frames only
+        (reference: x[mask], tools/losses.py:9-21) and the generated fake
+        must be zeroed on padded frames like the torch decoder's
+        output[~mask] = 0."""
+        from dawn_tpu.train.train_pbnet import PBnetTrainer, PBnetTrainConfig
+        from dawn_tpu.train.data import collate_padded
+
+        trainer = PBnetTrainer(PBnetTrainConfig(kind="pose"))
+        r = np.random.RandomState(0)
+        samples = [{"x": r.randn(40, 6).astype(np.float32),
+                    "hubert": r.randn(40, 1024).astype(np.float32)},
+                   {"x": r.randn(28, 6).astype(np.float32),
+                    "hubert": r.randn(28, 1024).astype(np.float32)}]
+        raw = collate_padded(samples)
+        assert raw["x"].shape[1] == 40 and list(raw["lengths"]) == [40, 28]
+        state = trainer.init_state(jax.random.PRNGKey(0), num_frames=40)
+
+        batch = {"x": jnp.asarray(raw["x"]),
+                 "hubert": jnp.asarray(raw["hubert"]),
+                 "lengths": jnp.asarray(raw["lengths"])}
+        (loss, (metrics, fake)) = trainer.g_loss(
+            state["g"], state["d"], jax.random.PRNGKey(1), batch, 20000)
+        assert np.isfinite(float(loss))
+        # fake zeroed on padded frames (decoder output[~mask] = 0)
+        assert np.abs(np.asarray(fake)[1, 28:]).max() == 0.0
+        assert np.abs(np.asarray(fake)[1, :28]).max() > 0.0
+
+        # dropping lengths (no mask) must change the loss: padded frames
+        # would otherwise contribute to every loss term — the round-1 bug
+        nomask = {"x": batch["x"], "hubert": batch["hubert"]}
+        loss_nm, _ = trainer.g_loss(state["g"], state["d"],
+                                    jax.random.PRNGKey(1), nomask, 20000)
+        assert not np.allclose(float(loss), float(loss_nm))
+
+        # a full train step with lengths runs end-to-end
+        new_state, m = trainer.train_step(state, jax.random.PRNGKey(2),
+                                          batch, 20000)
+        assert np.isfinite(float(m["g_total"]))
