@@ -1,15 +1,18 @@
 """Mel-spectrogram + F0 extraction — the alternative audio features.
 
 Capability parity with hubert_extract/data_gen/process_lrs3/
-process_audio_mel_f0.py: 16 kHz wav -> log10-mel (fft 1024, hop 320, win 1024
-hann, 80 Slaney-scale mel bins, fmin 80, fmax 7600, :23-56) and F0 (80-750 Hz,
-hop 320, :58-75) with NATSpeech's f0_to_coarse bucketing.
+process_audio_mel_f0.py: 16 kHz wav -> log10-mel with the reference's EXACT
+parameters (fft 512, hop 320, win 512 hann, center=False, 80 Slaney-scale mel
+bins, fmin 80, fmax 7600, eps 1e-6 — :23-56) and F0 (80-750 Hz, hop 320,
+:58-75) with NATSpeech's f0_to_coarse bucketing. Parity is tested by driving
+the reference extract_mel_from_fname through a numpy librosa shim
+(tests/test_audio_features.py).
 
 Pure numpy: the reference's librosa/parselmouth are not in this image. The
-mel path reproduces librosa.stft(center=True, reflect) + librosa.filters.mel
-(Slaney scale + slaney norm) exactly; F0 uses a windowed-autocorrelation
-tracker in place of Praat's to_pitch_ac (same hop/bounds; the coarse buckets
-match since f0_to_coarse only sees the Hz values).
+mel path reproduces librosa.stft(center=False) + librosa.filters.mel (Slaney
+scale + slaney norm) exactly; F0 uses a windowed-autocorrelation tracker in
+place of Praat's to_pitch_ac (same hop/bounds; DEVIATIONS.md) — the coarse
+buckets match since f0_to_coarse only sees the Hz values.
 """
 
 from __future__ import annotations
@@ -38,7 +41,7 @@ def _mel_to_hz_slaney(m):
                     lin)
 
 
-def mel_filterbank(sr: int = 16000, n_fft: int = 1024, n_mels: int = 80,
+def mel_filterbank(sr: int = 16000, n_fft: int = 512, n_mels: int = 80,
                    fmin: float = 80.0, fmax: float = 7600.0) -> np.ndarray:
     """Slaney-scale, slaney-normalized triangular filters
     (librosa.filters.mel defaults). Returns (n_mels, n_fft//2+1)."""
@@ -58,12 +61,14 @@ def mel_filterbank(sr: int = 16000, n_fft: int = 1024, n_mels: int = 80,
     return (fb * enorm[:, None]).astype(np.float32)
 
 
-def stft_mag(wav: np.ndarray, n_fft: int = 1024, hop: int = 320,
-             win_length: int = 1024) -> np.ndarray:
-    """|STFT| with center=True reflect padding and a hann window
-    (librosa.stft semantics). Returns (frames, n_fft//2+1)."""
-    pad = n_fft // 2
-    x = np.pad(wav.astype(np.float64), (pad, pad), mode="reflect")
+def stft_mag(wav: np.ndarray, n_fft: int = 512, hop: int = 320,
+             win_length: int = 512, center: bool = False) -> np.ndarray:
+    """|STFT| with a periodic hann window (librosa.stft semantics). The
+    reference calls librosa.stft(center=False) (process_audio_mel_f0.py:39-41)
+    so no padding by default. Returns (frames, n_fft//2+1)."""
+    x = wav.astype(np.float64)
+    if center:
+        x = np.pad(x, (n_fft // 2, n_fft // 2), mode="reflect")
     win = np.hanning(win_length + 1)[:-1]          # periodic hann
     if win_length < n_fft:
         win = np.pad(win, ((n_fft - win_length) // 2,) * 2)
@@ -73,12 +78,12 @@ def stft_mag(wav: np.ndarray, n_fft: int = 1024, hop: int = 320,
     return np.abs(np.fft.rfft(frames, n=n_fft, axis=1)).astype(np.float32)
 
 
-def extract_mel(wav: np.ndarray, sr: int = 16000, n_fft: int = 1024,
-                hop: int = 320, win_length: int = 1024, n_mels: int = 80,
+def extract_mel(wav: np.ndarray, sr: int = 16000, n_fft: int = 512,
+                hop: int = 320, win_length: int = 512, n_mels: int = 80,
                 fmin: float = 80.0, fmax: float = 7600.0,
                 eps: float = 1e-6) -> np.ndarray:
     """16 kHz wav -> (T, n_mels) log10 mel (process_audio_mel_f0.py:23-56)."""
-    spc = stft_mag(wav, n_fft, hop, win_length)            # (T, bins)
+    spc = stft_mag(wav, n_fft, hop, win_length, center=False)  # (T, bins)
     fb = mel_filterbank(sr, n_fft, n_mels, fmin, fmax)     # (mels, bins)
     mel = spc @ fb.T
     return np.log10(np.maximum(eps, mel)).astype(np.float32)
@@ -88,7 +93,7 @@ def extract_mel(wav: np.ndarray, sr: int = 16000, n_fft: int = 1024,
 
 def extract_f0(wav: np.ndarray, sr: int = 16000, hop: int = 320,
                f0_min: float = 80.0, f0_max: float = 750.0,
-               frame_length: int = 1024,
+               frame_length: int = 512,
                voicing_threshold: float = 0.3) -> np.ndarray:
     """Frame-wise F0 via normalized autocorrelation (the Praat to_pitch_ac
     replacement; same hop and 80-750 Hz search band,

@@ -1,10 +1,21 @@
-"""Mel/F0 extraction sanity tests (pure numpy path, no librosa in image)."""
+"""Mel/F0 extraction tests: sanity + parity against the reference's own
+extract_mel_from_fname (driven through the numpy librosa shim in ref_shims —
+no real librosa in this image)."""
+
+import os
+import sys
 
 import numpy as np
 
 from dawn_tpu.pipeline.mel_f0 import (
     extract_f0, extract_mel, extract_mel_f0, f0_to_coarse, mel_filterbank,
 )
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+for p in (os.path.join(HERE, "ref_shims"),
+          "/root/reference/hubert_extract/data_gen/process_lrs3"):
+    if p not in sys.path:
+        sys.path.insert(0, p)
 
 SR = 16000
 
@@ -17,20 +28,52 @@ def _tone(freq, seconds=1.0, sr=SR):
 def test_mel_shape_and_frames():
     wav = _tone(220.0, 1.0)
     mel = extract_mel(wav)
-    # librosa center=True frame count: 1 + len // hop
-    assert mel.shape == (1 + len(wav) // 320, 80)
+    # librosa center=False frame count: 1 + (len - n_fft) // hop
+    assert mel.shape == (1 + (len(wav) - 512) // 320, 80)
     assert np.isfinite(mel).all()
 
 
 def test_mel_peak_tracks_frequency():
     fb = mel_filterbank()
-    centers_hz = np.linspace(0, SR / 2, 513)
+    centers_hz = np.linspace(0, SR / 2, fb.shape[1])
     for freq in (300.0, 1000.0, 3000.0):
         mel = extract_mel(_tone(freq))
         band = int(np.argmax(mel.mean(0)))
         # band center frequency from the filterbank peak
         peak_hz = centers_hz[np.argmax(fb[band])]
         assert abs(peak_hz - freq) / freq < 0.25, (freq, peak_hz)
+
+
+def test_mel_parity_vs_reference():
+    """Drive the reference extract_mel_from_fname (fft 512, win 512,
+    center=False, eps 1e-6, process_audio_mel_f0.py:23-56) through the
+    librosa shim and compare against dawn_tpu's extract_mel bit-for-bit."""
+    import importlib
+    ref = importlib.import_module("process_audio_mel_f0")
+
+    rng = np.random.RandomState(0)
+    wav = (_tone(220.0, 0.9) + 0.05 * rng.randn(int(0.9 * SR))
+           ).astype(np.float32)
+    _, ref_mel = ref.extract_mel_from_fname(wav)
+    got = extract_mel(wav)
+    assert ref_mel.shape == got.shape
+    assert np.abs(got - ref_mel).max() < 1e-4, np.abs(got - ref_mel).max()
+
+
+def test_shim_stft_matches_torch():
+    """The librosa shim's STFT (which the reference parity test leans on) is
+    itself cross-checked against torch.stft — an independent implementation."""
+    import torch
+    import librosa as shim
+
+    wav = _tone(350.0, 0.5)
+    got = shim.stft(wav, n_fft=512, hop_length=320, win_length=512,
+                    center=False)
+    ref = torch.stft(torch.from_numpy(wav), n_fft=512, hop_length=320,
+                     win_length=512, window=torch.hann_window(512),
+                     center=False, return_complex=True).numpy()
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < 1e-3
 
 
 def test_f0_detects_pitch():
