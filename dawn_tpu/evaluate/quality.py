@@ -1,0 +1,141 @@
+"""Video quality harness: FVD-style Frechet metrics + lip-sync proxy.
+
+Round-1 gap (VERDICT item 6): the north-star requires FVD / lip-sync parity
+against the released checkpoints, and the repo had the Frechet math
+(evaluate/metrics.py, ported from PBnet/src/evaluate/action2motion/fid.py)
+but no video feature extractor and no lip metric.
+
+Feature extractor: the frozen LFG encoder (``compute_fea``, the same
+256-channel bottleneck the diffusion model is conditioned on). With the
+released LFG checkpoint loaded it is a strong talking-head feature space —
+documented as the interim FVD proxy (an I3D backbone would need pretrained
+weights this image cannot fetch; the Frechet math is extractor-agnostic, so a
+converted I3D can be plugged into the same functions later).
+
+Lip-sync proxy: mouth-region L1 + SSIM between generated and ground-truth
+frames, masked by the rasterized mouth-landmark bbox (the same rasterizer the
+mouth loss uses, train/train_dm.py::generate_mouth_mask; reference mouth
+masking: ..._init_cond_mouth_mask_6D.py:238).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from dawn_tpu.evaluate.metrics import frechet_distance
+
+
+# ------------------------------------------------------------- features
+
+def lfg_frame_features(generator, variables, videos: np.ndarray,
+                       batch: int = 64) -> np.ndarray:
+    """Per-frame LFG-encoder features.
+
+    videos: (N, T, H, W, 3) float32 in [0, 1]. Returns (N*T, 2*C): spatial
+    mean ++ spatial std of the encoder bottleneck per frame.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n, t = videos.shape[:2]
+    frames = videos.reshape((n * t,) + videos.shape[2:])
+
+    @jax.jit
+    def fea(x):
+        f = generator.apply(variables, x, method=type(generator).compute_fea)
+        return jnp.concatenate([f.mean(axis=(1, 2)), f.std(axis=(1, 2))], -1)
+
+    out = []
+    for i in range(0, len(frames), batch):
+        out.append(np.asarray(fea(jnp.asarray(frames[i: i + batch]))))
+    return np.concatenate(out, axis=0)
+
+
+def video_features(frame_feats: np.ndarray, n_videos: int) -> np.ndarray:
+    """(N*T, D) frame features -> (N, 2D) per-video features
+    (temporal mean ++ temporal std) — the FVD-style sample unit."""
+    f = frame_feats.reshape(n_videos, -1, frame_feats.shape[-1])
+    return np.concatenate([f.mean(axis=1), f.std(axis=1)], axis=-1)
+
+
+def fvd_proxy(generator, variables, real: np.ndarray, fake: np.ndarray,
+              per_video: bool = False) -> float:
+    """Frechet distance between LFG-feature distributions of real and fake
+    video sets (N, T, H, W, 3). per_video=True pools over time first (FVD
+    sample = video); default treats frames as samples (FID-style, stable for
+    small N)."""
+    fr = lfg_frame_features(generator, variables, real)
+    ff = lfg_frame_features(generator, variables, fake)
+    if per_video:
+        fr = video_features(fr, real.shape[0])
+        ff = video_features(ff, fake.shape[0])
+    return frechet_distance(fr, ff)
+
+
+# ------------------------------------------------------------ lip proxy
+
+def mouth_mask_images(mouth_lmk: np.ndarray, img_size: int) -> np.ndarray:
+    """(N, T, K, 2) pixel landmarks -> (N, T, H, W, 1) binary mouth-bbox
+    masks at image resolution (train_dm.generate_mouth_mask at scale 1)."""
+    from dawn_tpu.train.train_dm import generate_mouth_mask
+    import jax.numpy as jnp
+    return np.asarray(generate_mouth_mask(jnp.asarray(mouth_lmk), img_size,
+                                          img_size))
+
+
+def _ssim2d(a: np.ndarray, b: np.ndarray, c1=0.01 ** 2, c2=0.03 ** 2,
+            win: int = 7) -> np.ndarray:
+    """Per-pixel SSIM map over (..., H, W) grayscale in [0,1] with a uniform
+    window (scipy-free separable box filter)."""
+    def box(x):
+        k = np.ones(win) / win
+        x = np.apply_along_axis(lambda r: np.convolve(r, k, mode="same"), -1, x)
+        return np.apply_along_axis(lambda r: np.convolve(r, k, mode="same"),
+                                   -2, x)
+
+    mu_a, mu_b = box(a), box(b)
+    va = box(a * a) - mu_a ** 2
+    vb = box(b * b) - mu_b ** 2
+    cov = box(a * b) - mu_a * mu_b
+    return ((2 * mu_a * mu_b + c1) * (2 * cov + c2)
+            / ((mu_a ** 2 + mu_b ** 2 + c1) * (va + vb + c2)))
+
+
+def lip_sync_proxy(gen: np.ndarray, gt: np.ndarray,
+                   mouth_lmk: Optional[np.ndarray] = None) -> Dict[str, float]:
+    """Mouth-region L1 and SSIM between generated and GT videos.
+
+    gen/gt: (N, T, H, W, 3) in [0, 1]. mouth_lmk: (N, T, K, 2) pixel coords
+    (landmarks 48:67); when None the center-lower-third crop is used (the
+    3DDFA-failure fallback region).
+    """
+    h = gt.shape[2]
+    if mouth_lmk is not None:
+        mask = mouth_mask_images(mouth_lmk, h)
+    else:
+        mask = np.zeros(gt.shape[:4] + (1,), np.float32)
+        mask[:, :, int(h * 0.55): int(h * 0.85),
+             int(h * 0.3): int(h * 0.7)] = 1.0
+    denom = max(float(mask.sum() * 3), 1.0)
+    l1 = float((np.abs(gen - gt) * mask).sum() / denom)
+    gray_g = gen.mean(-1)
+    gray_t = gt.mean(-1)
+    smap = _ssim2d(gray_g, gray_t)
+    ssim = float((smap * mask[..., 0]).sum() / max(float(mask.sum()), 1.0))
+    return {"mouth_l1": l1, "mouth_ssim": ssim}
+
+
+def evaluate_quality(generator, variables, real: np.ndarray, fake: np.ndarray,
+                     mouth_lmk: Optional[np.ndarray] = None) -> Dict[str, float]:
+    """The full quality report for a set of (real, generated) videos."""
+    out = {
+        "fvd_lfg_frames": fvd_proxy(generator, variables, real, fake),
+        "l1": float(np.abs(fake - real).mean()),
+    }
+    if real.shape[0] >= 2:
+        out["fvd_lfg_videos"] = fvd_proxy(generator, variables, real, fake,
+                                          per_video=True)
+    out.update(lip_sync_proxy(fake, real, mouth_lmk))
+    return out
