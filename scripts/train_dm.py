@@ -49,6 +49,7 @@ def main():
     from dawn_tpu.train.train_dm import DMTrainer, DMTrainConfig
     from dawn_tpu.train.data import HDTFVideoDataset
     from dawn_tpu.parallel.mesh import make_mesh
+    from dawn_tpu.parallel.distributed import maybe_initialize_distributed
     from dawn_tpu.utils.checkpoint import save_checkpoint, restore_checkpoint, restored_step
     from dawn_tpu.utils.misc import Logger, AverageMeter, setup_seed
 
@@ -88,6 +89,11 @@ def main():
     print(f"dataset: {len(dataset)} videos, {num_frames} frames/clip"
           + (f", stage-2 buckets {s2_buckets}" if args.stage == 2 else ""))
 
+    # must run before anything touches jax.devices() (backend init)
+    if maybe_initialize_distributed():
+        print(f"distributed: process {jax.process_index()}/"
+              f"{jax.process_count()}, "
+              f"{len(jax.devices())} global devices")
     n_dev = len(jax.devices())
     mesh = make_mesh(seq_parallel=2 if n_dev % 2 == 0 and n_dev > 1 else 1)
     print(f"mesh: {mesh.shape}")

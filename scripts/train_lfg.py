@@ -67,8 +67,14 @@ def main():
     import jax.numpy as jnp
     from dawn_tpu.train.train_lfg import LFGTrainer, LFGTrainConfig
     from dawn_tpu.parallel.mesh import make_mesh
+    from dawn_tpu.parallel.distributed import maybe_initialize_distributed
     from dawn_tpu.utils.checkpoint import save_checkpoint
     from dawn_tpu.utils.misc import Logger, setup_seed
+
+    # must run before anything touches jax.devices() (backend init)
+    if maybe_initialize_distributed():
+        print(f"distributed: process {jax.process_index()}/"
+              f"{jax.process_count()}, {len(jax.devices())} global devices")
 
     with open(args.config) as f:
         y = yaml.safe_load(f)

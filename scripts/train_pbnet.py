@@ -36,8 +36,14 @@ def main():
     from dawn_tpu.train.train_pbnet import PBnetTrainer, PBnetTrainConfig
     from dawn_tpu.train.data import PBnetPoseDataset
     from dawn_tpu.parallel.mesh import make_mesh
+    from dawn_tpu.parallel.distributed import maybe_initialize_distributed
     from dawn_tpu.utils.checkpoint import save_checkpoint
     from dawn_tpu.utils.misc import Logger, setup_seed
+
+    # must run before anything touches jax.devices() (backend init)
+    if maybe_initialize_distributed():
+        print(f"distributed: process {jax.process_index()}/"
+              f"{jax.process_count()}, {len(jax.devices())} global devices")
 
     setup_seed(1234)
     workdir = os.path.join(args.workdir, args.kind)
