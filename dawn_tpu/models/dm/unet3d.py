@@ -295,7 +295,8 @@ class TemporalAttention(nn.Module):
             kf = k.reshape(b * s, self.heads, t, self.dim_head)
             vf = v.reshape(b * s, self.heads, t, self.dim_head)
             out = local_attention(qf, kf, vf, bias_vec, self.window,
-                                  use_pallas=self.mode == "pallas")
+                                  use_pallas=True if self.mode == "pallas"
+                                  else None)
             out = out.reshape(b, s, self.heads, t, self.dim_head)
         else:
             sim = jnp.einsum("bshid,bshjd->bshij", q, k).astype(jnp.float32)

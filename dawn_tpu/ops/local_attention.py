@@ -113,27 +113,26 @@ def _tile_bias(heads: int, bq: int, window: int,
 
 def _local_attn_tile_kernel(bias_ref, q_ref, kl_ref, kc_ref, kr_ref,
                             vl_ref, vc_ref, vr_ref, o_ref, *,
-                            t: int, bq: int, nb: int, h: int):
+                            t: int, bq: int, nb: int):
     """Fused QK^T -> +bias/mask -> softmax -> AV over the 3-tile key stripe.
 
-    Grid (n*h, nb). Tiles `l`/`r` are the neighbor key blocks (index maps
-    clamped at the sequence edges, so their contributions are re-masked by
-    block validity and global key position). NOTE: a head-major layout with
-    an `s // n` bias index map (fetch the bias tile once per head) and a
-    5-D G-batched variant both wedge the Mosaic remote compiler in this
-    environment (>15 min); this 4-D form compiles in ~1 min.
+    Grid (R/G, nb) with G sequences batched per step (G a multiple of the
+    head count, so the resident (G, bq, 3bq) bias block lines up with the
+    row-major (n, h) sequence order with no in-kernel head indexing). Tiles
+    `l`/`r` are the neighbor key blocks (index maps clamped at the sequence
+    edges, so their contributions are re-masked by block validity and global
+    key position).
     """
     import jax.experimental.pallas as pl
 
     b = pl.program_id(1)
-    head = jax.lax.rem(pl.program_id(0), h)
-    q = q_ref[0, 0]                                # (bq, d)
-    kt = jnp.concatenate([kl_ref[0, 0], kc_ref[0, 0], kr_ref[0, 0]], axis=0)
-    vt = jnp.concatenate([vl_ref[0, 0], vc_ref[0, 0], vr_ref[0, 0]], axis=0)
+    q = q_ref[:, 0]                                # (G, bq, d)
+    kt = jnp.concatenate([kl_ref[:, 0], kc_ref[:, 0], kr_ref[:, 0]], axis=1)
+    vt = jnp.concatenate([vl_ref[:, 0], vc_ref[:, 0], vr_ref[:, 0]], axis=1)
 
-    s = jax.lax.dot_general(q, kt, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # (bq, 3bq)
-    s = s + bias_ref[head]
+    s = jax.lax.dot_general(q, kt, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)  # (G, bq, 3bq)
+    s = s + bias_ref[:]
 
     # validity: global key position of column j is b*bq + (j - bq); must be
     # a real (unpadded) frame and come from a real (unclamped) neighbor tile
@@ -142,47 +141,68 @@ def _local_attn_tile_kernel(bias_ref, q_ref, kl_ref, kc_ref, kr_ref,
     valid = (jg >= 0) & (jg < t)
     valid &= ~((jj < bq) & (b == 0))
     valid &= ~((jj >= 2 * bq) & (b == nb - 1))
-    s = jnp.where(valid, s, NEG_INF)
+    s = jnp.where(valid[None], s, NEG_INF)
 
     s = s - s.max(axis=-1, keepdims=True)
     p = jnp.exp(s)
     p = p / p.sum(axis=-1, keepdims=True)
-    o_ref[0, 0] = jax.lax.dot_general(
-        p.astype(vt.dtype), vt, (((1,), (0,)), ((), ())),
+    o_ref[:, 0] = jax.lax.dot_general(
+        p.astype(vt.dtype), vt, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _rows_per_step(n: int, h: int, bq: int,
+                   budget: int = 3 << 19) -> int:
+    """G = m*h rows per grid step, m | n, sized so the f32 score stripe
+    (G, bq, 3bq) stays within ``budget`` bytes of VMEM (the stripe is live
+    ~3x as scores/probs/temps, plus double-buffered qkv blocks; G=64 at
+    bq=64 measured 22.6 MB scoped VMEM against the default 16 MB limit,
+    G=32 fits — larger G needs vmem_limit_bytes raised)."""
+    max_rows = max(h, budget // (bq * 3 * bq * 4))
+    m = 1
+    while m * 2 * h <= max_rows and n % (m * 2) == 0:
+        m *= 2
+    return m * h
 
 
 def local_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
                            bias_vec: Optional[jax.Array], window: int,
-                           block_q: int = 128,
+                           block_q: int = 64,
+                           g_rows: Optional[int] = None,
                            interpret: bool = False) -> jax.Array:
-    """Pallas TPU sliding-window attention (forward only).
+    """Pallas TPU sliding-window attention (forward).
 
-    Blocking: queries in blocks of ``bq >= window``; each grid step loads the
-    query block plus its three key/value tiles (left / center / right
-    neighbor blocks via clamped BlockSpec index maps -- no manual DMA), so
-    the (bq, 3*bq) score stripe lives entirely in VMEM and HBM traffic is
-    linear in T. Head-major layout keeps the per-head bias tile resident
-    across the inner sweep. Numerically identical to
-    ``local_attention_banded``.
+    Blocking: queries in blocks of ``bq >= window``; each grid step loads G
+    query blocks (all heads of m sequences -- fat grid steps amortize
+    per-step overhead, the round-1 bottleneck) plus their three key/value
+    tiles (left / center / right neighbor blocks via clamped BlockSpec index
+    maps -- no manual DMA), so the (G, bq, 3*bq) score stripe lives entirely
+    in VMEM and HBM traffic is linear in T. The bias block is pre-broadcast
+    to G rows and stays VMEM-resident (constant index map). Numerically
+    identical to ``local_attention_banded``.
     """
     import jax.experimental.pallas as pl
 
+    import jax.experimental.pallas.tpu as pltpu
+
     n, h, t, d = q.shape
-    bq = max(min(block_q, pl.next_power_of_2(t)), window)
+    bq = max(min(block_q, pl.next_power_of_2(t)),
+             pl.next_power_of_2(max(window, 1)))
     nb = -(-t // bq)
     t_pad = nb * bq
+    g = g_rows if g_rows is not None else _rows_per_step(n, h, bq)
 
     def prep(x):
         return jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - t), (0, 0))).reshape(
             n * h, nb, bq, d)
 
     qp, kp, vp = prep(q), prep(k), prep(v)
-    # whole per-head bias stays VMEM-resident (constant index map, ~h*bq*3bq
-    # floats); the kernel picks its head's tile by dynamic index. This keeps
-    # bias HBM traffic O(1) instead of O(grid) — load-bearing at 256^2 where
-    # a per-sequence broadcast would be ~6 GB.
+    # bias block (G, bq, 3bq): the per-head tile tiled over the m sequences
+    # in a step (rows are (n, h) row-major, so row r has head r % h). Stays
+    # VMEM-resident via a constant index map — bias HBM traffic is O(1)
+    # instead of O(grid); at 256^2 a per-sequence broadcast would be ~6 GB.
     bias = _tile_bias(h, bq, window, bias_vec)           # (h, bq, 3bq)
+    bias = jnp.tile(bias, (g // h, 1, 1))                # (G, bq, 3bq)
 
     def qmap(s, b):
         return (s, b, 0, 0)
@@ -193,19 +213,26 @@ def local_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
     def rmap(s, b):
         return (s, jnp.minimum(b + 1, nb - 1), 0, 0)
 
-    kv_spec = lambda im: pl.BlockSpec((1, 1, bq, d), im)
-    kernel = functools.partial(_local_attn_tile_kernel, t=t, bq=bq, nb=nb, h=h)
+    kv_spec = lambda im: pl.BlockSpec((g, 1, bq, d), im)
+    kernel = functools.partial(_local_attn_tile_kernel, t=t, bq=bq, nb=nb)
     out = pl.pallas_call(
         kernel,
-        grid=(n * h, nb),
+        grid=(n * h // g, nb),
         in_specs=[
-            pl.BlockSpec((h, bq, 3 * bq), lambda s, b: (0, 0, 0)),
+            pl.BlockSpec((g, bq, 3 * bq), lambda s, b: (0, 0, 0)),
             kv_spec(qmap),
             kv_spec(lmap), kv_spec(qmap), kv_spec(rmap),
             kv_spec(lmap), kv_spec(qmap), kv_spec(rmap),
         ],
         out_specs=kv_spec(qmap),
         out_shape=jax.ShapeDtypeStruct((n * h, nb, bq, d), q.dtype),
+        # ~8x the f32 score stripe (scores/probs/temps) + blocks + bias;
+        # the Mosaic default scoped limit is 16 MB but v5e VMEM is larger,
+        # so fat G blocks legitimately exceed it (G=64/bq=64 measures 22.6 MB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(min(
+                100 << 20,
+                8 * g * bq * 3 * bq * 4 + (8 << 20)))),
         interpret=interpret,
     )(bias, qp, kp, kp, kp, vp, vp, vp)
     return out.reshape(n, h, t_pad, d)[:, :, :t]
@@ -233,17 +260,30 @@ _local_attention_tpu.defvjp(_local_attention_tpu_fwd, _local_attention_tpu_bwd)
 
 def local_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     bias_vec: Optional[jax.Array], window: int,
-                    use_pallas: bool = False) -> jax.Array:
-    """Default dispatch.
+                    use_pallas: Optional[bool] = None) -> jax.Array:
+    """Default dispatch: shape-aware on TPU, banded XLA elsewhere.
 
-    The banded XLA path is the default on every backend: on a v5e at DAWN's
-    shapes (n*h=8k sequences of T=200, d=32) it measures FASTER than the
-    fused Pallas kernel (17 vs 24 ms/op, scan-amortized) because the 16k-step
-    Pallas grid's per-step overhead exceeds the HBM saved by keeping the
-    score stripe in VMEM. The Pallas kernel (``use_pallas=True``, TPU only,
-    custom-VJP with banded-recompute backward) wins when the score stripe
-    stops fitting XLA's fusion budget — very long T per sequence.
+    Measured on v5e at DAWN's temporal-attention shapes (scan-amortized,
+    bf16, w=40, d=32, scripts/bench_attention.py):
+
+      n*h=8k,  T=200: pallas 16.8 ms/op vs banded 21.0 (1.25x)   <- 128^2 top
+      n*h=8k,  T=400: pallas 28.9 ms/op vs banded 40.0 (1.38x)
+      n*h=32k, T=200: pallas 48.7 ms/op vs banded 31.1 (0.64x)   <- 256^2 top
+
+    The round-1 kernel lost everywhere (24 vs 17 ms/op) because its
+    (n*h, nb) grid ran one tiny (bq, d=32) matmul per step; batching G=32
+    rows per step flipped the 8k-row shapes. At 32k rows XLA's batched
+    einsum pipelines MXU/VPU across the batch better than the per-step
+    kernel, UNLESS the banded score stripe stops fitting HBM — it grows as
+    rows * T * (block+2w) * 4 bytes (14 GB at 32k rows, T=400), where the
+    VMEM-resident kernel is the only option. ``use_pallas=False`` forces the
+    banded path (any backend); the Pallas custom-VJP currently recomputes
+    the backward through the banded path.
     """
+    if use_pallas is None:
+        rows = q.shape[0] * q.shape[1]
+        stripe_bytes = rows * q.shape[2] * (128 + 2 * window) * 4
+        use_pallas = rows <= 16384 or stripe_bytes > (4 << 30)
     if use_pallas and jax.default_backend() == "tpu":
         return _local_attention_tpu(q, k, v, bias_vec, window)
     return local_attention_banded(q, k, v, bias_vec, window)

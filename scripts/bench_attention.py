@@ -1,0 +1,122 @@
+"""Microbenchmark: banded-XLA vs Pallas sliding-window temporal attention.
+
+Reproduces the round-1 comparison (README perf table) at the DAWN UNet's
+temporal-attention shapes: the top level at 128^2 folds the 32x32 latent into
+the batch, so n = 1024 sequences, h = 8 heads, d = 32, T = frames, window 40
+(DAWN_128.yaml:5). Reference correspondence: the in-repo benchmark at
+DM_3/modules/local_attention.py:532-559 (opt-vs-full wall time + MSE).
+
+Usage:  python scripts/bench_attention.py [--t 200] [--n 1024] [--dtype bf16]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+SCAN_ITERS = 10
+
+
+def scanned(op):
+    """Run op SCAN_ITERS times inside one jit (q changes per step so the op
+    cannot be CSE'd) — amortizes the per-dispatch tunnel overhead the way the
+    20-step DDIM scan does in production."""
+    import jax
+    import jax.numpy as jnp
+
+    def fn(q, k, v):
+        def body(carry, _):
+            out = op(carry, k, v)
+            return out.astype(carry.dtype), None
+        out, _ = jax.lax.scan(body, q, None, length=SCAN_ITERS)
+        return out
+
+    return jax.jit(fn)
+
+
+def timeit(fn, *args, repeats=5):
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best / SCAN_ITERS, out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1024)
+    ap.add_argument("--h", type=int, default=8)
+    ap.add_argument("--t", type=int, default=200)
+    ap.add_argument("--d", type=int, default=32)
+    ap.add_argument("--window", type=int, default=40)
+    ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
+    ap.add_argument("--block-q", type=int, default=64)
+    ap.add_argument("--g-rows", type=int, default=None,
+                    help="rows per pallas grid step (default: auto)")
+    ap.add_argument("--skip-full", action="store_true")
+    ap.add_argument("--skip-banded", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dawn_tpu.ops.local_attention import (
+        local_attention_banded, local_attention_pallas)
+    from dawn_tpu.ops.t5bias import (
+        t5_bias_matrix, t5_bias_windowed_vector, window_mask)
+
+    n, h, t, d, w = args.n, args.h, args.t, args.d, args.window
+    dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    print(f"backend={jax.default_backend()} n={n} h={h} t={t} d={d} w={w} "
+          f"dtype={args.dtype} block_q={args.block_q}", file=sys.stderr)
+
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(n, h, t, d), dt) * (d ** -0.5)
+    k = jnp.asarray(rng.randn(n, h, t, d), dt)
+    v = jnp.asarray(rng.randn(n, h, t, d), dt)
+    emb = jnp.asarray(rng.randn(32, h), jnp.float32)
+    vec = t5_bias_windowed_vector(emb, w, 32, 32)
+
+    banded = scanned(lambda q, k, v: local_attention_banded(q, k, v, vec, w))
+    pallas = scanned(lambda q, k, v: local_attention_pallas(
+        q, k, v, vec, w, block_q=args.block_q, g_rows=args.g_rows))
+
+    tb = None
+    if not args.skip_banded:
+        tb, ob = timeit(banded, q, k, v)
+        print(f"banded : {tb*1e3:8.2f} ms/op (scan-amortized)")
+    tp, op = timeit(pallas, q, k, v)
+    vs = f"   speedup vs banded: {tb/tp:.2f}x" if tb else ""
+    print(f"pallas : {tp*1e3:8.2f} ms/op{vs}")
+    if tb is not None:
+        mse = float(jnp.mean((ob.astype(jnp.float32)
+                              - op.astype(jnp.float32)) ** 2))
+        print(f"pallas-vs-banded MSE: {mse:.3e}")
+
+    if not args.skip_full and t <= 512:
+        bias_full = (t5_bias_matrix(emb, t, 32, 32)
+                     + jnp.asarray(window_mask(t, w)))
+
+        def full(q, k, v):
+            sim = jnp.einsum("nhid,nhjd->nhij", q, k).astype(jnp.float32)
+            sim = sim + bias_full[None]
+            attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
+            return jnp.einsum("nhij,nhjd->nhid", attn, v)
+
+        tf_, of = timeit(scanned(full), q, k, v)
+        print(f"full   : {tf_*1e3:8.2f} ms/op (scan-amortized)")
+        mse = float(jnp.mean((of.astype(jnp.float32)
+                              - op.astype(jnp.float32)) ** 2))
+        print(f"pallas-vs-full MSE: {mse:.3e}")
+
+
+if __name__ == "__main__":
+    main()
