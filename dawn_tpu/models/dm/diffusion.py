@@ -62,12 +62,18 @@ class GaussianDiffusion:
                 _extract(self.bufs["sqrt_recipm1_alphas_cumprod"], t, nd) * noise)
 
     def _threshold(self, x0: jax.Array) -> jax.Array:
-        """Dynamic thresholding (ca_multi_test.py:1185-1196)."""
+        """Dynamic thresholding (ca_multi_test.py:1185-1196).
+
+        The quantile runs as an exact bitwise binary search instead of
+        jnp.quantile's full sort — the sort measured 47.5 ms/step on v5e at
+        256^2/200f (~1 s of every 20-step video), the search ~1 ms.
+        """
         if not self.use_dynamic_thres:
             return jnp.clip(x0, -1.0, 1.0)
+        from dawn_tpu.ops.quantile import quantile_nonneg
         b = x0.shape[0]
         flat = jnp.abs(x0.reshape(b, -1))
-        s = jnp.quantile(flat, self.dynamic_thres_percentile, axis=-1)
+        s = quantile_nonneg(flat, self.dynamic_thres_percentile)
         s = jnp.maximum(s, 1.0).reshape((b,) + (1,) * (x0.ndim - 1))
         return jnp.clip(x0, -s, s) / s
 

@@ -38,14 +38,17 @@ def scanned(op):
 
 
 def timeit(fn, *args, repeats=5):
-    import jax
+    """AXON GOTCHA: block_until_ready is a no-op on this platform; only
+    fetching bytes forces execution, so each timed call is forced by pulling
+    one scalar of the output to host."""
+    import numpy as np
     out = fn(*args)
-    jax.block_until_ready(out)
+    np.asarray(out[0, 0, 0, 0])
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        np.asarray(out[0, 0, 0, 0])
         best = min(best, time.perf_counter() - t0)
     return best / SCAN_ITERS, out
 
