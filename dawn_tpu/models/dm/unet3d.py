@@ -34,7 +34,8 @@ from dawn_tpu.ops.norms import channel_layer_norm
 from dawn_tpu.ops.rotary import rotary_cos_sin, apply_rotary
 from dawn_tpu.ops.t5bias import t5_bias_matrix, window_mask, t5_bias_windowed_vector
 from dawn_tpu.ops.convs import conv_transpose2d_torch
-from dawn_tpu.ops.local_attention import local_attention
+from dawn_tpu.ops.local_attention import (
+    local_attention, local_attention_packed_tpu, PACKED_MAX_T)
 
 
 def sinusoidal_pos_emb(t: jax.Array, dim: int) -> jax.Array:
@@ -238,16 +239,19 @@ class SpatialLinearAttention(nn.Module):
                       name="to_qkv")(y)
         q, k, v = jnp.split(qkv.reshape(b * t, h * w, 3 * hidden), 3, axis=-1)
 
+        # tokens stay in the natural (N, hw, heads, d) layout end-to-end —
+        # the (N, heads, d, hw) transposes cost ~half this module's 18 ms at
+        # 256^2 top level (probe_unet_phases); the contractions are identical
         def split_heads(z):
-            return z.reshape(b * t, h * w, self.heads, self.dim_head).transpose(0, 2, 3, 1)
+            return z.reshape(b * t, h * w, self.heads, self.dim_head)
 
-        q, k, v = map(split_heads, (q, k, v))     # (N, heads, d, hw)
-        q = (jax.nn.softmax(q.astype(jnp.float32), axis=-2)
+        q, k, v = map(split_heads, (q, k, v))     # (N, hw, heads, d)
+        q = (jax.nn.softmax(q.astype(jnp.float32), axis=-1)
              * (self.dim_head ** -0.5)).astype(self.dtype)
-        k = jax.nn.softmax(k.astype(jnp.float32), axis=-1).astype(self.dtype)
-        ctx = jnp.einsum("nhdk,nhek->nhde", k, v)
-        out = jnp.einsum("nhde,nhdk->nhek", ctx, q)
-        out = out.transpose(0, 3, 1, 2).reshape(b * t, h, w, hidden)
+        k = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(self.dtype)
+        ctx = jnp.einsum("nkhd,nkhe->nhde", k, v)
+        out = jnp.einsum("nhde,nkhd->nkhe", ctx, q)
+        out = out.reshape(b * t, h, w, hidden)
         out = nn.Conv(c, (1, 1), dtype=self.dtype, name="to_out")(out)
         return out.reshape(b, t, h, w, c)
 
@@ -280,13 +284,32 @@ class TemporalAttention(nn.Module):
                        name="to_qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
+        cos, sin = rotary_cos_sin(t, min(32, self.dim_head), dtype=x.dtype)
+
+        if (self.mode in ("local", "pallas")
+                and jax.default_backend() == "tpu" and t <= PACKED_MAX_T):
+            # packed path: heads stay in the lane dim end-to-end — no
+            # split-heads transposes (87 -> ~15 ms per 256^2 top-level
+            # instance, scripts/probe_unet_phases.py)
+            qh = (q * self.dim_head ** -0.5).reshape(
+                b, s, t, self.heads, self.dim_head)
+            kh = k.reshape(b, s, t, self.heads, self.dim_head)
+            qh = apply_rotary(qh, cos[:, None], sin[:, None])
+            kh = apply_rotary(kh, cos[:, None], sin[:, None])
+            out = local_attention_packed_tpu(
+                qh.reshape(b * s, t, hidden), kh.reshape(b * s, t, hidden),
+                v.reshape(b * s, t, hidden), bias_vec, self.window,
+                self.heads)
+            return nn.Dense(c, use_bias=False, dtype=self.dtype,
+                            name="to_out")(out.reshape(b, s, t, hidden)
+                                           .astype(self.dtype))
+
         def split_heads(z):
             return z.reshape(b, s, t, self.heads, self.dim_head).transpose(0, 1, 3, 2, 4)
 
         q, k, v = map(split_heads, (q, k, v))    # (B, S, H, T, D)
         q = q * (self.dim_head ** -0.5)
 
-        cos, sin = rotary_cos_sin(t, min(32, self.dim_head), dtype=x.dtype)
         q = apply_rotary(q, cos, sin)
         k = apply_rotary(k, cos, sin)
 

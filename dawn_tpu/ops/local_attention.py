@@ -238,6 +238,235 @@ def local_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
     return out.reshape(n, h, t_pad, d)[:, :, :t]
 
 
+def _full_bias(heads: int, t: int, tp: int, window: int,
+               bias_vec: Optional[jax.Array]) -> jax.Array:
+    """(heads, tp, tp) additive bias: T5 window bias + window mask + key
+    padding validity, ALL baked in statically (no in-kernel masking)."""
+    ii = np.arange(tp)[:, None]
+    jj = np.arange(tp)[None, :]
+    rel = jj - ii
+    ok = (np.abs(rel) <= window) & (jj < t)
+    mask = np.where(ok, 0.0, NEG_INF).astype(np.float32)
+    if bias_vec is None:
+        return jnp.broadcast_to(jnp.asarray(mask)[None], (heads, tp, tp))
+    idx = jnp.asarray(np.clip(rel + window, 0, 2 * window))
+    return bias_vec[:, idx] + jnp.asarray(mask)[None]
+
+
+def _local_attn_packed_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *,
+                              h: int, dh: int):
+    """Whole-sequence fused attention, heads packed in the lane dim.
+
+    Blocks are (G, tp, h*dh) — the NATURAL (batch, time, channels) layout of
+    the qkv projection, so the caller needs NO split-heads transpose. The
+    static per-head loop lane-slices d=dh columns; every mask is baked into
+    the resident (h, tp, tp) bias so the softmax pipeline is
+    add-max-sub-exp-sum-div with no iota/select work.
+    """
+    q = q_ref[:]
+    k = k_ref[:]
+    v = v_ref[:]
+    for head in range(h):
+        sl = slice(head * dh, (head + 1) * dh)
+        s = jax.lax.dot_general(q[:, :, sl], k[:, :, sl],
+                                (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        s = s + bias_ref[head][None]
+        s = s - s.max(axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / p.sum(axis=-1, keepdims=True)
+        o_ref[:, :, sl] = jax.lax.dot_general(
+            p.astype(v.dtype), v[:, :, sl],
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+PACKED_MAX_T = 256
+
+
+def local_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
+                           bias_vec: Optional[jax.Array], window: int,
+                           heads: int, g_rows: int = 8,
+                           interpret: bool = False) -> jax.Array:
+    """Pallas sliding-window attention on the PACKED (N, T, heads*dh) layout.
+
+    For T <= PACKED_MAX_T the whole padded sequence is one block: no
+    neighbor tiles, no stripe concat, (tp x dh)@(dh x tp) matmuls with
+    tp=128/256 rows (vs 64 in the tiled kernel), and heads stay in the lane
+    dimension end-to-end, which deletes the (b,s,t,h,d) split-head
+    transposes from the module hot path. Measured motivation: the full
+    TemporalAttention instance at 256^2 top level (rows=4096, T=200, c=64)
+    costs 87 ms with the banded path; see scripts/probe_unet_phases.py.
+
+    q, k, v: (N, T, heads*dh), q pre-scaled and pre-rotated.
+    """
+    import jax.experimental.pallas as pl
+    import jax.experimental.pallas.tpu as pltpu
+
+    n, t, hd = q.shape
+    dh = hd // heads
+    assert t <= PACKED_MAX_T, (t, PACKED_MAX_T)
+    tp = 128 * -(-t // 128)
+    g = g_rows
+    while n % g != 0:
+        g //= 2
+
+    def prep(x):
+        return jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
+
+    qp, kp, vp = prep(q), prep(k), prep(v)
+    bias = _full_bias(heads, t, tp, window, bias_vec)     # (h, tp, tp)
+
+    spec = pl.BlockSpec((g, tp, hd), lambda s: (s, 0, 0))
+    kernel = functools.partial(_local_attn_packed_kernel, h=heads, dh=dh)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n // g,),
+        in_specs=[pl.BlockSpec((heads, tp, tp), lambda s: (0, 0, 0)),
+                  spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((n, tp, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(min(
+                100 << 20,
+                4 * g * tp * tp * 4 + heads * tp * tp * 4 + (8 << 20)))),
+        interpret=interpret,
+    )(bias, qp, kp, vp)
+    return out[:, :t]
+
+
+def _local_attn_packed_bwd_kernel(bias_ref, q_ref, k_ref, v_ref, g_ref,
+                                  dq_ref, dk_ref, dv_ref, ds_ref, *,
+                                  h: int, dh: int):
+    """Fused backward: because the whole padded sequence is one block, the
+    softmax rows are complete in-VMEM — recompute p, then
+    dv = p^T g,  ds = p*(g v^T - rowsum(g v^T * p)),  dq = ds k,
+    dk = ds^T q, all per head. ds is also accumulated (summed over the grid)
+    for the T5-bias-vector gradient, reduced to diagonals by the caller."""
+    import jax.experimental.pallas as pl
+
+    first = pl.program_id(0) == 0
+    q = q_ref[:]
+    k = k_ref[:]
+    v = v_ref[:]
+    g = g_ref[:]
+    for head in range(h):
+        sl = slice(head * dh, (head + 1) * dh)
+        qh, kh, vh, gh = q[:, :, sl], k[:, :, sl], v[:, :, sl], g[:, :, sl]
+        s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        s = s + bias_ref[head][None]
+        s = s - s.max(axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / p.sum(axis=-1, keepdims=True)                 # (G, tp, tp)
+
+        dp = jax.lax.dot_general(gh, vh, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = p * (dp - delta)                                 # (G, tp, tp)
+
+        pk = p.astype(gh.dtype)
+        dsk = ds.astype(qh.dtype)
+        dv_ref[:, :, sl] = jax.lax.dot_general(
+            pk, gh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        dq_ref[:, :, sl] = jax.lax.dot_general(
+            dsk, kh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        dk_ref[:, :, sl] = jax.lax.dot_general(
+            dsk, qh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+        acc = jnp.sum(ds, axis=0)                             # (tp, tp)
+
+        @pl.when(first)
+        def _():
+            ds_ref[head] = acc
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            ds_ref[head] = ds_ref[head] + acc
+
+
+def _packed_bwd_pallas(q, k, v, g, bias_vec, window, heads,
+                       interpret: bool = False):
+    import jax.experimental.pallas as pl
+    import jax.experimental.pallas.tpu as pltpu
+
+    n, t, hd = q.shape
+    dh = hd // heads
+    tp = 128 * -(-t // 128)
+    gg = 8
+    while n % gg != 0:
+        gg //= 2
+
+    def prep(x):
+        return jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
+
+    bias = _full_bias(heads, t, tp, window, bias_vec)
+    spec = pl.BlockSpec((gg, tp, hd), lambda s: (s, 0, 0))
+    kernel = functools.partial(_local_attn_packed_bwd_kernel, h=heads, dh=dh)
+    dq, dk, dv, ds = pl.pallas_call(
+        kernel,
+        grid=(n // gg,),
+        in_specs=[pl.BlockSpec((heads, tp, tp), lambda s: (0, 0, 0)),
+                  spec, spec, spec, spec],
+        out_specs=(spec, spec, spec,
+                   pl.BlockSpec((heads, tp, tp), lambda s: (0, 0, 0))),
+        out_shape=(jax.ShapeDtypeStruct((n, tp, hd), q.dtype),
+                   jax.ShapeDtypeStruct((n, tp, hd), q.dtype),
+                   jax.ShapeDtypeStruct((n, tp, hd), q.dtype),
+                   jax.ShapeDtypeStruct((heads, tp, tp), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(min(
+                100 << 20,
+                8 * gg * tp * tp * 4 + 2 * heads * tp * tp * 4 + (8 << 20)))),
+        interpret=interpret,
+    )(bias, prep(q), prep(k), prep(v), prep(g))
+
+    dq, dk, dv = dq[:, :t], dk[:, :t], dv[:, :t]
+    if bias_vec is None:
+        return dq, dk, dv, None
+    # reduce the accumulated dS tile to the (h, 2w+1) bias-vector gradient:
+    # entry (i, j) contributes to rel = j - i; out-of-window entries have
+    # p = 0 => ds = 0, so the clipped-index double-count is harmless.
+    ii = np.arange(tp)[:, None]
+    jj = np.arange(tp)[None, :]
+    rel = jj - ii
+    onehot = jnp.asarray(
+        (rel[None] == np.arange(-window, window + 1)[:, None, None])
+        .astype(np.float32))                                # (2w+1, tp, tp)
+    dvec = jnp.einsum("hij,rij->hr", ds, onehot)
+    return dq, dk, dv, dvec
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def local_attention_packed_tpu(q, k, v, bias_vec, window, heads):
+    """Differentiable packed-layout entry (TPU): fused Pallas forward AND
+    backward (the full-T block makes the backward a single kernel — no
+    flash-style lse bookkeeping or banded recompute)."""
+    return local_attention_packed(q, k, v, bias_vec, window, heads)
+
+
+def _packed_split(x, heads):
+    n, t, hd = x.shape
+    return x.reshape(n, t, heads, hd // heads).transpose(0, 2, 1, 3)
+
+
+def _local_attention_packed_fwd(q, k, v, bias_vec, window, heads):
+    return (local_attention_packed(q, k, v, bias_vec, window, heads),
+            (q, k, v, bias_vec))
+
+
+def _local_attention_packed_bwd(window, heads, res, g):
+    q, k, v, bias_vec = res
+    return _packed_bwd_pallas(q, k, v, g, bias_vec, window, heads)
+
+
+local_attention_packed_tpu.defvjp(_local_attention_packed_fwd,
+                                  _local_attention_packed_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _local_attention_tpu(q, k, v, bias_vec, window):
     return local_attention_pallas(q, k, v, bias_vec, window)

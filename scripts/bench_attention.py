@@ -43,12 +43,12 @@ def timeit(fn, *args, repeats=5):
     one scalar of the output to host."""
     import numpy as np
     out = fn(*args)
-    np.asarray(out[0, 0, 0, 0])
+    np.asarray(out[(0,) * out.ndim])
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         out = fn(*args)
-        np.asarray(out[0, 0, 0, 0])
+        np.asarray(out[(0,) * out.ndim])
         best = min(best, time.perf_counter() - t0)
     return best / SCAN_ITERS, out
 
@@ -103,6 +103,19 @@ def main():
         mse = float(jnp.mean((ob.astype(jnp.float32)
                               - op.astype(jnp.float32)) ** 2))
         print(f"pallas-vs-banded MSE: {mse:.3e}")
+
+    if t <= 256:
+        from dawn_tpu.ops.local_attention import local_attention_packed
+
+        def pack(x):
+            return x.transpose(0, 2, 1, 3).reshape(n, t, h * d)
+
+        qp, kp, vp = pack(q), pack(k), pack(v)
+        packed = scanned(lambda q, k, v: local_attention_packed(
+            q, k, v, vec, w, heads=h))
+        tpk, opk = timeit(packed, qp, kp, vp)
+        vs = f"   speedup vs banded: {tb/tpk:.2f}x" if tb else ""
+        print(f"packed : {tpk*1e3:8.2f} ms/op{vs}")
 
     if not args.skip_full and t <= 512:
         bias_full = (t5_bias_matrix(emb, t, 32, 32)

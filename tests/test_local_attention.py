@@ -74,3 +74,89 @@ class TestPallasKernel:
         ref = local_attention_banded(q, k, v, vec, w, block_q=64)
         got = local_attention_pallas(q, k, v, vec, w, block_q=64, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+class TestPackedKernel:
+    def _pack(self, x):
+        # (n, h, t, d) -> (n, t, h*d)
+        n, h, t, d = x.shape
+        return x.transpose(0, 2, 1, 3).reshape(n, t, h * d)
+
+    def test_interpret_matches_banded(self):
+        from dawn_tpu.ops.local_attention import local_attention_packed
+        n, h, t, d, w = 2, 8, 200, 32, 40
+        q, k, v, emb = _make_inputs(n, h, t, d)
+        vec = t5_bias_windowed_vector(emb, w, 32, 32)
+        ref = local_attention_banded(q, k, v, vec, w)
+        got = local_attention_packed(self._pack(q), self._pack(k),
+                                     self._pack(v), vec, w, heads=h,
+                                     interpret=True)
+        got = got.reshape(n, t, h, d).transpose(0, 2, 1, 3)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_interpret_short_odd_t(self):
+        from dawn_tpu.ops.local_attention import local_attention_packed
+        n, h, t, d, w = 1, 4, 77, 32, 20
+        q, k, v, emb = _make_inputs(n, h, t, d)
+        vec = t5_bias_windowed_vector(emb, w, 32, 32)
+        ref = local_attention_banded(q, k, v, vec, w, block_q=32)
+        got = local_attention_packed(self._pack(q), self._pack(k),
+                                     self._pack(v), vec, w, heads=h,
+                                     interpret=True)
+        got = got.reshape(n, t, h, d).transpose(0, 2, 1, 3)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_no_bias(self):
+        from dawn_tpu.ops.local_attention import local_attention_packed
+        n, h, t, d, w = 1, 2, 50, 16, 10
+        q, k, v, _ = _make_inputs(n, h, t, d)
+        ref = local_attention_banded(q, k, v, None, w, block_q=16)
+        got = local_attention_packed(self._pack(q), self._pack(k),
+                                     self._pack(v), None, w, heads=h,
+                                     interpret=True)
+        got = got.reshape(n, t, h, d).transpose(0, 2, 1, 3)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_fused_backward_matches_banded_vjp(self):
+        from dawn_tpu.ops.local_attention import _packed_bwd_pallas
+        n, h, t, d, w = 2, 4, 90, 32, 20
+        q, k, v, emb = _make_inputs(n, h, t, d)
+        vec = t5_bias_windowed_vector(emb, w, 32, 32)
+        qp, kp, vp = self._pack(q), self._pack(k), self._pack(v)
+        g = jnp.asarray(RNG.randn(n, t, h * d).astype(np.float32))
+
+        def banded_packed(qp, kp, vp, vec):
+            def split(x):
+                return x.reshape(n, t, h, d).transpose(0, 2, 1, 3)
+            out = local_attention_banded(split(qp), split(kp), split(vp),
+                                         vec, w)
+            return out.transpose(0, 2, 1, 3).reshape(n, t, h * d)
+
+        _, vjp = jax.vjp(banded_packed, qp, kp, vp, vec)
+        ref = vjp(g)
+        got = _packed_bwd_pallas(qp, kp, vp, g, vec, w, h, interpret=True)
+        for name, r, o in zip(("dq", "dk", "dv", "dbias"), ref, got):
+            np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                       atol=2e-4, err_msg=name)
+
+    def test_fused_backward_no_bias(self):
+        from dawn_tpu.ops.local_attention import _packed_bwd_pallas
+        n, h, t, d, w = 1, 2, 40, 16, 10
+        q, k, v, _ = _make_inputs(n, h, t, d)
+        qp, kp, vp = self._pack(q), self._pack(k), self._pack(v)
+        g = jnp.asarray(RNG.randn(n, t, h * d).astype(np.float32))
+
+        def banded_packed(qp, kp, vp):
+            def split(x):
+                return x.reshape(n, t, h, d).transpose(0, 2, 1, 3)
+            out = local_attention_banded(split(qp), split(kp), split(vp),
+                                         None, w)
+            return out.transpose(0, 2, 1, 3).reshape(n, t, h * d)
+
+        _, vjp = jax.vjp(banded_packed, qp, kp, vp)
+        ref = vjp(g)
+        got = _packed_bwd_pallas(qp, kp, vp, g, None, w, h, interpret=True)
+        assert got[3] is None
+        for name, r, o in zip(("dq", "dk", "dv"), ref, got[:3]):
+            np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                       atol=2e-4, err_msg=name)
