@@ -26,7 +26,8 @@ import flax.linen as nn
 from dawn_tpu.models.lfg.blocks import (
     SameBlock2d, DownBlock2d, UpBlock2d, ResBlock2d,
 )
-from dawn_tpu.models.lfg.warp import apply_optical, deform_input
+from dawn_tpu.models.lfg.warp import (
+    apply_optical, apply_optical_shared, deform_input, deform_input_shared)
 
 
 class LFGGenerator(nn.Module):
@@ -92,6 +93,43 @@ class LFGGenerator(nn.Module):
                 jnp.float32),
         }
 
+    def decode_shared(self, source_image: jax.Array, skips: List[jax.Array],
+                      optical_flow: jax.Array, occlusion_map: jax.Array,
+                      ) -> Dict[str, jax.Array]:
+        """Warp + decode with SHARED per-identity skips.
+
+        source_image/skips keep their (B, ...) identity batch; every warp
+        gathers the shared source directly (grid_sample_shared) instead of
+        materializing the (B*T, H, W, C) skip broadcasts — at 256^2/200f
+        that broadcast was 3.4 GB of HBM for skip 0 alone. Convs still run
+        over the flattened (B*T) frame batch.
+
+        optical_flow: (B, T, h, w, 2); occlusion_map: (B, T, h, w, 1).
+        Returns dict of (B, T, ...) tensors.
+        """
+        b, t = optical_flow.shape[:2]
+        out = apply_optical_shared(skips[-1], optical_flow, occlusion_map)
+        for blk in self.bottleneck:
+            out = blk(out)
+        for i, up in enumerate(self.up_blocks):
+            if self.skips:
+                out = apply_optical_shared(skips[-(i + 1)], optical_flow,
+                                           occlusion_map, out)
+            out = up(out)
+        if self.skips:
+            out = apply_optical_shared(skips[0], optical_flow, occlusion_map,
+                                       out)
+        out = jax.nn.sigmoid(self.final(out))
+        if self.skips:
+            out = apply_optical_shared(source_image.astype(out.dtype),
+                                       optical_flow, occlusion_map, out)
+        return {
+            "prediction": out.reshape((b, t) + out.shape[1:]).astype(
+                jnp.float32),
+            "deformed": deform_input_shared(source_image, optical_flow
+                                            ).astype(jnp.float32),
+        }
+
     def decode_with_flow(self, source_image: jax.Array, optical_flow: jax.Array,
                          occlusion_map: jax.Array) -> Dict[str, jax.Array]:
         """forward_with_flow for a whole video in one batched program.
@@ -105,33 +143,26 @@ class LFGGenerator(nn.Module):
         t = optical_flow.shape[0]
         skips = self.encode(source_image)
         if source_image.shape[0] == 1 and t > 1:
-            skips = [jnp.broadcast_to(s, (t,) + s.shape[1:]) for s in skips]
-            source_image = jnp.broadcast_to(source_image, (t,) + source_image.shape[1:])
+            out = self.decode_shared(source_image, skips, optical_flow[None],
+                                     occlusion_map[None])
+            return {k: v[0] for k, v in out.items()}
         return self.decode(source_image, skips, optical_flow, occlusion_map)
 
     def decode_with_flow_batched(self, source_image: jax.Array,
                                  optical_flow: jax.Array,
                                  occlusion_map: jax.Array) -> Dict[str, jax.Array]:
-        """Multi-identity decode: each of B sources encoded ONCE, its skips
-        broadcast over the T frames, all (B*T) frames decoded as one conv
-        program.
+        """Multi-identity decode: each of B sources encoded ONCE, all (B*T)
+        frames decoded as one conv program, warps gathering the shared
+        sources (no skip broadcast).
 
         Args:
           source_image: (B, H, W, 3).
           optical_flow: (B, T, h, w, 2); occlusion_map: (B, T, h, w, 1).
         Returns dict of (B, T, ...) tensors.
         """
-        b, t = optical_flow.shape[:2]
-        hh, ww = source_image.shape[1:3]
         skips = self.encode(source_image)
-        skips = [jnp.broadcast_to(s[:, None], (b, t) + s.shape[1:]).reshape(
-            (b * t,) + s.shape[1:]) for s in skips]
-        src = jnp.broadcast_to(source_image[:, None],
-                               (b, t, hh, ww, 3)).reshape(b * t, hh, ww, 3)
-        out = self.decode(src, skips,
-                          optical_flow.reshape((b * t,) + optical_flow.shape[2:]),
-                          occlusion_map.reshape((b * t,) + occlusion_map.shape[2:]))
-        return {k: v.reshape((b, t) + v.shape[1:]) for k, v in out.items()}
+        return self.decode_shared(source_image, skips, optical_flow,
+                                  occlusion_map)
 
     def __call__(self, source_image: jax.Array, motion_params: Dict[str, jax.Array],
                  ) -> Dict[str, jax.Array]:

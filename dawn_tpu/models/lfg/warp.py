@@ -13,8 +13,44 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from dawn_tpu.ops.resample import grid_sample, interpolate_bilinear
+from dawn_tpu.ops.resample import (
+    grid_sample, grid_sample_shared, interpolate_bilinear)
 from dawn_tpu.ops.convs import depthwise_conv2d
+
+
+def deform_input_shared(inp: jax.Array, optical_flow: jax.Array) -> jax.Array:
+    """Warp ONE source (B,H,W,C) by T flows (B,T,h,w,2) -> (B,T,H,W,C)
+    without materializing the (B*T, H, W, C) source broadcast."""
+    b, t, h_old, w_old, _ = optical_flow.shape
+    _, h, w, _ = inp.shape
+    if (h_old, w_old) != (h, w):
+        flow_flat = optical_flow.reshape(b * t, h_old, w_old, 2)
+        optical_flow = interpolate_bilinear(flow_flat, h, w).reshape(
+            b, t, h, w, 2)
+    return grid_sample_shared(inp, optical_flow)
+
+
+def apply_optical_shared(input_skip: jax.Array, optical_flow: jax.Array,
+                         occlusion_map: Optional[jax.Array] = None,
+                         input_previous: Optional[jax.Array] = None) -> jax.Array:
+    """apply_optical with a shared (B,H,W,C) skip and (B,T,...) flow/occ.
+
+    ``input_previous`` (and the result) are flattened (B*T, h, w, C) to slot
+    between the batched decoder convs.
+    """
+    b, t = optical_flow.shape[:2]
+    out = deform_input_shared(input_skip, optical_flow)
+    out = out.reshape((b * t,) + out.shape[2:])
+    if occlusion_map is not None:
+        occ = occlusion_map.reshape((b * t,) + occlusion_map.shape[2:])
+        if occ.shape[1:3] != out.shape[1:3]:
+            occ = interpolate_bilinear(occ, out.shape[1], out.shape[2])
+        occ = occ.astype(out.dtype)
+        if input_previous is not None:
+            out = out * occ + input_previous.astype(out.dtype) * (1 - occ)
+        else:
+            out = out * occ
+    return out
 
 
 def deform_input(inp: jax.Array, optical_flow: jax.Array) -> jax.Array:

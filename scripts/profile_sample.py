@@ -15,17 +15,25 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench(fn, args, repeats=3, name=""):
+def _force(out):
+    """block_until_ready is a no-op over the axon tunnel — force by fetching
+    one element of the first leaf."""
     import jax
+    import numpy as np
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf[(0,) * leaf.ndim])
+
+
+def bench(fn, args, repeats=3, name=""):
     t0 = time.time()
     out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     print(f"{name}: compile+run {time.time()-t0:.1f}s", file=sys.stderr)
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        _force(out)
         best = min(best, time.perf_counter() - t0)
     return best, out
 
@@ -40,6 +48,8 @@ def main():
     ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
     ap.add_argument("--lfg-dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--lfg-decode-chunk", type=int, default=None)
+    ap.add_argument("--decode-only", action="store_true",
+                    help="skip the DDIM phase; decode random flow fields")
     args = ap.parse_args()
 
     import jax
@@ -51,7 +61,7 @@ def main():
 
     chunk = args.lfg_decode_chunk
     if chunk is None:
-        chunk = 0 if args.img_size <= 128 else 32
+        chunk = 0 if args.img_size <= 128 else 16
     dt = {"f32": jnp.float32, "bf16": jnp.bfloat16}
     cfg = FlowDiffusionConfig(img_size=args.img_size,
                               sampling_timesteps=args.steps,
@@ -76,29 +86,12 @@ def main():
     eye = jnp.asarray(rng.rand(b, t, 2), jnp.float32)
     bbox = jnp.asarray([[s * .25, s * .75, s * .25, s * .75, s, s]], jnp.float32)
 
-    # ---- phase 1: conditioning + 20-step DDIM scan (no decode) -------------
-    def ddim_only(variables, rng, img, aud, pose, eye, bbox):
-        from dawn_tpu.models.dm.flow_diffusion import generate_bbox_mask
-        from dawn_tpu.models.lfg.generator import LFGGenerator as G
-        cond = model.build_condition(aud, pose, eye, pose[:, 0], eye[:, 0])
-        fea = model.generator.apply(variables["generator"], img,
-                                    method=G.compute_fea)
-        mask = generate_bbox_mask(bbox, cfg.img_size)
-        memb = model.face_loc.apply(variables["face_loc"], mask)
-        fea_t = jnp.broadcast_to(fea[:, None], (b, t) + fea.shape[1:])
-        mask_t = jnp.broadcast_to(memb[:, None], (b, t) + memb.shape[1:])
-
-        def denoise(x, tvec, c, drop):
-            return model.unet.apply(variables["unet"], x, tvec, c, drop)
-
-        return model.diffusion.sample(denoise, rng, (b, t, ls, ls, 3),
-                                      fea_t, mask_t, cond, 1.0, None)
-
-    ddim = jax.jit(ddim_only)
-    tb, pred = bench(ddim, (variables, jax.random.PRNGKey(1), img, aud,
-                            pose, eye, bbox), name="ddim")
-    print(f"DDIM ({args.steps} steps, attn={args.attn}):"
-          f" {tb:.3f}s  -> {t/tb:.1f} fps-equivalent")
+    if args.decode_only:
+        pred = jnp.asarray(rng.randn(b, t, ls, ls, 3) * 0.3, jnp.float32)
+        tb = 0.0
+    else:
+        tb, pred = _run_ddim(args, cfg, model, variables, b, t, s, ls, img,
+                             aud, pose, eye, bbox)
 
     # ---- phase 2: LFG decode of all frames ---------------------------------
     grid = pred[..., :2]
@@ -133,8 +126,40 @@ def main():
           f"lfg_dtype={args.lfg_dtype}): {td:.3f}s -> {t/td:.1f} fps-equivalent")
 
     total = tb + td
-    print(f"total {total:.3f}s = {t/total:.1f} fps "
-          f"(DDIM {100*tb/total:.0f}% / decode {100*td/total:.0f}%)")
+    if tb:
+        print(f"total {total:.3f}s = {t/total:.1f} fps "
+              f"(DDIM {100*tb/total:.0f}% / decode {100*td/total:.0f}%)")
+
+
+def _run_ddim(args, cfg, model, variables, b, t, s, ls, img, aud, pose, eye,
+              bbox):
+    import jax
+    import jax.numpy as jnp
+
+    # ---- phase 1: conditioning + 20-step DDIM scan (no decode) -------------
+    def ddim_only(variables, rng, img, aud, pose, eye, bbox):
+        from dawn_tpu.models.dm.flow_diffusion import generate_bbox_mask
+        from dawn_tpu.models.lfg.generator import LFGGenerator as G
+        cond = model.build_condition(aud, pose, eye, pose[:, 0], eye[:, 0])
+        fea = model.generator.apply(variables["generator"], img,
+                                    method=G.compute_fea)
+        mask = generate_bbox_mask(bbox, cfg.img_size)
+        memb = model.face_loc.apply(variables["face_loc"], mask)
+        fea_t = jnp.broadcast_to(fea[:, None], (b, t) + fea.shape[1:])
+        mask_t = jnp.broadcast_to(memb[:, None], (b, t) + memb.shape[1:])
+
+        def denoise(x, tvec, c, drop):
+            return model.unet.apply(variables["unet"], x, tvec, c, drop)
+
+        return model.diffusion.sample(denoise, rng, (b, t, ls, ls, 3),
+                                      fea_t, mask_t, cond, 1.0, None)
+
+    ddim = jax.jit(ddim_only)
+    tb, pred = bench(ddim, (variables, jax.random.PRNGKey(1), img, aud,
+                            pose, eye, bbox), name="ddim")
+    print(f"DDIM ({args.steps} steps, attn={args.attn}):"
+          f" {tb:.3f}s  -> {t/tb:.1f} fps-equivalent")
+    return tb, pred
 
 
 if __name__ == "__main__":
