@@ -254,30 +254,31 @@ def _full_bias(heads: int, t: int, tp: int, window: int,
 
 
 def _local_attn_packed_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *,
-                              h: int, dh: int):
-    """Whole-sequence fused attention, heads packed in the lane dim.
+                              hb: int, dh: int):
+    """Whole-sequence fused attention for a 128-lane group of heads.
 
-    Blocks are (G, tp, h*dh) — the NATURAL (batch, time, channels) layout of
-    the qkv projection, so the caller needs NO split-heads transpose. The
-    static per-head loop lane-slices d=dh columns; every mask is baked into
-    the resident (h, tp, tp) bias so the softmax pipeline is
-    add-max-sub-exp-sum-div with no iota/select work.
+    Blocks are (G, tp, hb*dh=128) lane-slices of the NATURAL
+    (batch, time, h*dh) layout of the qkv projection — Mosaic requires lane
+    blocks divisible by 128, so hb=128/dh heads share a grid step (the rest
+    of the head axis is a grid dimension; the full 8-head unrolled body
+    compiled ~80 s per shape). Every mask is baked into the resident
+    (hb, tp, tp) bias so the softmax pipeline is add-max-sub-exp-sum-div
+    with no iota/select work.
     """
     q = q_ref[:]
     k = k_ref[:]
     v = v_ref[:]
-    for head in range(h):
-        sl = slice(head * dh, (head + 1) * dh)
+    for i in range(hb):
+        sl = slice(i * dh, (i + 1) * dh)
         s = jax.lax.dot_general(q[:, :, sl], k[:, :, sl],
                                 (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
-        s = s + bias_ref[head][None]
+        s = s + bias_ref[i][None]
         s = s - s.max(axis=-1, keepdims=True)
         p = jnp.exp(s)
         p = p / p.sum(axis=-1, keepdims=True)
         o_ref[:, :, sl] = jax.lax.dot_general(
-            p.astype(v.dtype), v[:, :, sl],
-            (((2,), (1,)), ((0,), (0,))),
+            p.astype(v.dtype), v[:, :, sl], (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
@@ -286,7 +287,7 @@ PACKED_MAX_T = 256
 
 def local_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
                            bias_vec: Optional[jax.Array], window: int,
-                           heads: int, g_rows: int = 8,
+                           heads: int, g_rows: int = 16,
                            interpret: bool = False) -> jax.Array:
     """Pallas sliding-window attention on the PACKED (N, T, heads*dh) layout.
 
@@ -294,9 +295,12 @@ def local_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
     neighbor tiles, no stripe concat, (tp x dh)@(dh x tp) matmuls with
     tp=128/256 rows (vs 64 in the tiled kernel), and heads stay in the lane
     dimension end-to-end, which deletes the (b,s,t,h,d) split-head
-    transposes from the module hot path. Measured motivation: the full
-    TemporalAttention instance at 256^2 top level (rows=4096, T=200, c=64)
-    costs 87 ms with the banded path; see scripts/probe_unet_phases.py.
+    transposes from the module hot path. Grid is (heads, N/G) — heads outer
+    so each head's (tp, tp) bias tile is fetched once per sweep; q/k/v/o
+    blocks are (G, tp, dh) lane-slices, so total HBM traffic is one pass
+    over each tensor. Measured motivation: the full TemporalAttention
+    instance at 256^2 top level (rows=4096, T=200, c=64) costs 87 ms with
+    the banded path; see scripts/probe_unet_phases.py.
 
     q, k, v: (N, T, heads*dh), q pre-scaled and pre-rotated.
     """
@@ -310,6 +314,10 @@ def local_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
     g = g_rows
     while n % g != 0:
         g //= 2
+    # heads per 128-lane block (Mosaic lane-divisibility); fall back to the
+    # whole head axis when it doesn't split into 128-lane groups
+    hb = 128 // dh if dh <= 128 and (heads * dh) % 128 == 0 \
+        and heads % max(1, 128 // dh) == 0 else heads
 
     def prep(x):
         return jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
@@ -317,19 +325,19 @@ def local_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
     qp, kp, vp = prep(q), prep(k), prep(v)
     bias = _full_bias(heads, t, tp, window, bias_vec)     # (h, tp, tp)
 
-    spec = pl.BlockSpec((g, tp, hd), lambda s: (s, 0, 0))
-    kernel = functools.partial(_local_attn_packed_kernel, h=heads, dh=dh)
+    spec = pl.BlockSpec((g, tp, hb * dh), lambda hh, s: (s, 0, hh))
+    kernel = functools.partial(_local_attn_packed_kernel, hb=hb, dh=dh)
     out = pl.pallas_call(
         kernel,
-        grid=(n // g,),
-        in_specs=[pl.BlockSpec((heads, tp, tp), lambda s: (0, 0, 0)),
+        grid=(heads // hb, n // g),
+        in_specs=[pl.BlockSpec((hb, tp, tp), lambda hh, s: (hh, 0, 0)),
                   spec, spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((n, tp, hd), q.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(min(
                 100 << 20,
-                4 * g * tp * tp * 4 + heads * tp * tp * 4 + (8 << 20)))),
+                4 * g * tp * tp * 4 + hb * tp * tp * 4 + (8 << 20)))),
         interpret=interpret,
     )(bias, qp, kp, vp)
     return out[:, :t]
