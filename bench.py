@@ -19,6 +19,7 @@ attention UNet + 200 sequential per-frame AE decodes + per-step host sync).
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -44,6 +45,19 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # persistent compile cache (helps on standard PJRT backends; the axon
+    # remote-AOT tunnel bypasses it — there, cold compile is bounded by
+    # restricting Pallas kernels to the shapes where they win, see
+    # TemporalAttention's dispatch)
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                       ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
     import numpy as np
     from dawn_tpu.models.dm.flow_diffusion import FlowDiffusion, FlowDiffusionConfig

@@ -287,7 +287,8 @@ class TemporalAttention(nn.Module):
         cos, sin = rotary_cos_sin(t, min(32, self.dim_head), dtype=x.dtype)
 
         if (self.mode in ("local", "pallas")
-                and jax.default_backend() == "tpu" and t <= PACKED_MAX_T):
+                and jax.default_backend() == "tpu" and t <= PACKED_MAX_T
+                and b * s >= 256):
             # packed path: heads stay in the lane dim end-to-end — no
             # split-heads transposes (87 -> ~15 ms per 256^2 top-level
             # instance, scripts/probe_unet_phases.py)
@@ -317,9 +318,12 @@ class TemporalAttention(nn.Module):
             qf = q.reshape(b * s, self.heads, t, self.dim_head)
             kf = k.reshape(b * s, self.heads, t, self.dim_head)
             vf = v.reshape(b * s, self.heads, t, self.dim_head)
+            # short-T small-row levels: banded — sub-ms either way, and each
+            # extra Pallas shape costs ~75 s of Mosaic compile
+            use_pallas = (True if self.mode == "pallas"
+                          else (False if t <= PACKED_MAX_T else None))
             out = local_attention(qf, kf, vf, bias_vec, self.window,
-                                  use_pallas=True if self.mode == "pallas"
-                                  else None)
+                                  use_pallas=use_pallas)
             out = out.reshape(b, s, self.heads, t, self.dim_head)
         else:
             sim = jnp.einsum("bshid,bshjd->bshij", q, k).astype(jnp.float32)

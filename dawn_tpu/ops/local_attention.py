@@ -520,7 +520,12 @@ def local_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     if use_pallas is None:
         rows = q.shape[0] * q.shape[1]
         stripe_bytes = rows * q.shape[2] * (128 + 2 * window) * 4
-        use_pallas = rows <= 16384 or stripe_bytes > (4 << 30)
+        # tiled-pallas sweet spot: big enough to amortize the grid (banded
+        # is within a few ms below 4096 rows and each extra Pallas shape
+        # costs ~75 s of Mosaic compile), small enough that XLA's batched
+        # einsum doesn't win (>16k rows) — unless the banded stripe would
+        # blow HBM, where linear memory is the only option
+        use_pallas = (4096 <= rows <= 16384) or stripe_bytes > (4 << 30)
     if use_pallas and jax.default_backend() == "tpu":
         return _local_attention_tpu(q, k, v, bias_vec, window)
     return local_attention_banded(q, k, v, bias_vec, window)

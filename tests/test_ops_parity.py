@@ -30,6 +30,22 @@ class TestGridSample:
         got = ops.grid_sample(jnp.asarray(img), jnp.asarray(grid))
         np.testing.assert_allclose(np.asarray(got), to_nhwc(ref), atol=2e-5)
 
+    def test_shared_equals_broadcast(self):
+        # the decode hot path: one source per identity, T flow fields —
+        # must equal broadcasting the source to (B*T, ...) + plain sampling
+        from dawn_tpu.ops.resample import grid_sample_shared
+        b, t, hw, ohw = 2, 5, (32, 32), (24, 24)
+        img = RNG.randn(b, *hw, 4).astype(np.float32)
+        grid = (RNG.rand(b, t, *ohw, 2).astype(np.float32) * 2.4 - 1.2)
+        bc = np.broadcast_to(img[:, None], (b, t) + img.shape[1:]).reshape(
+            (b * t,) + img.shape[1:])
+        ref = ops.grid_sample(jnp.asarray(bc),
+                              jnp.asarray(grid.reshape((b * t,) + grid.shape[2:])))
+        got = grid_sample_shared(jnp.asarray(img), jnp.asarray(grid))
+        np.testing.assert_allclose(
+            np.asarray(got).reshape(np.asarray(ref).shape), np.asarray(ref),
+            atol=1e-6)
+
 
 class TestInterpolate:
     @pytest.mark.parametrize("ihw,ohw", [((32, 32), (128, 128)), ((17, 23), (32, 32)),
