@@ -38,6 +38,10 @@ def main():
                          "reference's O(T^2) windowed full attention")
     ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="identities generated per call (multi-identity "
+                         "batched sampling, BASELINE config #5); reported "
+                         "fps counts batch*frames")
     ap.add_argument("--lfg-decode-chunk", type=int, default=None,
                     help="decode frames in chunks (default: 0 at 128^2, "
                          "16 at 256^2 where full-res conv activations for "
@@ -81,14 +85,15 @@ def main():
     variables = model.init_variables(jax.random.PRNGKey(0), num_frames=2)
     print(f"init: {time.time()-t0:.1f}s", file=sys.stderr)
 
-    b, t, s = 1, args.frames, args.img_size
+    b, t, s = args.batch, args.frames, args.img_size
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.rand(b, s, s, 3), jnp.float32)
     aud = jnp.asarray(rng.randn(b, t, 1024), jnp.float32)
     pose = jnp.asarray(rng.randn(b, t, 6), jnp.float32)
     eye = jnp.asarray(rng.rand(b, t, 2), jnp.float32)
-    bbox = jnp.asarray([[s * 0.25, s * 0.75, s * 0.25, s * 0.75, s, s]],
-                       jnp.float32)
+    bbox = jnp.asarray(
+        np.tile([s * 0.25, s * 0.75, s * 0.25, s * 0.75, s, s], (b, 1)),
+        jnp.float32)
 
     sampler = jax.jit(lambda v, r, *a: model.sample_one_video(v, r, *a))
 
@@ -110,16 +115,19 @@ def main():
         force(out)
         times.append(time.time() - t0)
     best = min(times)
-    fps = t / best
+    fps = b * t / best
     print(f"e2e per call: {times} -> best {best:.3f}s = {fps:.1f} frames/s "
-          f"({args.steps} DDIM steps + decode, {s}x{s})", file=sys.stderr)
+          f"({args.steps} DDIM steps + decode, {s}x{s}, batch {b})",
+          file=sys.stderr)
     # e2e seconds per 10s (250-frame) video at this rate
-    print(f"e2e sec per 10s video (250 frames): {250.0 / fps:.2f}s",
+    print(f"e2e sec per 10s video (250 frames): {250.0 * b / fps:.2f}s",
           file=sys.stderr)
 
+    batch_note = f", batch {b}" if b > 1 else ""
     print(json.dumps({
         "metric": f"generated frames/sec/chip ({s}x{s}, {args.steps} DDIM steps, "
-                  f"{t} frames e2e incl. LFG decode, attn={args.attn})",
+                  f"{t} frames e2e incl. LFG decode, attn={args.attn}"
+                  f"{batch_note})",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / EST_REF_A100_FPS, 3),
