@@ -286,6 +286,9 @@ class TemporalAttention(nn.Module):
 
         cos, sin = rotary_cos_sin(t, min(32, self.dim_head), dtype=x.dtype)
 
+        # packed for >=256 rows: dropping the rows-256 level to banded costs
+        # 8.7 fps at 128^2 (131.6 -> 122.9) for only ~127 s less cold
+        # compile — the kernel earns its compile everywhere above tiny rows
         if (self.mode in ("local", "pallas")
                 and jax.default_backend() == "tpu" and t <= PACKED_MAX_T
                 and b * s >= 256):
