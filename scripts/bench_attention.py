@@ -112,7 +112,8 @@ def main():
 
         qp, kp, vp = pack(q), pack(k), pack(v)
         packed = scanned(lambda q, k, v: local_attention_packed(
-            q, k, v, vec, w, heads=h))
+            q, k, v, vec, w, heads=h,
+            **({"g_rows": args.g_rows} if args.g_rows else {})))
         tpk, opk = timeit(packed, qp, kp, vp)
         vs = f"   speedup vs banded: {tb/tpk:.2f}x" if tb else ""
         print(f"packed : {tpk*1e3:8.2f} ms/op{vs}")
