@@ -143,14 +143,19 @@ class GaussianDiffusion:
         else:
             img = noise_seq[0]
 
-        cond_inp = jnp.concatenate([fea, bbox_mask], axis=-1)   # (B, T, h, w, 272)
+        # fea=None signals the caller's denoise_fn already carries the
+        # step-constant conditioning (precomputed init_conv static term) —
+        # the per-step 272-channel concat disappears from the scan
+        cond_inp = (jnp.concatenate([fea, bbox_mask], axis=-1)
+                    if fea is not None else None)             # (B, T, h, w, 272)
         eta = self.ddim_sampling_eta
 
         def step(carry, xs):
             img, rng = carry
             (time, alpha, alpha_next, nz), i = xs
             tvec = jnp.full((b,), time, dtype=jnp.int32)
-            inp = jnp.concatenate([img, cond_inp], axis=-1)
+            inp = (jnp.concatenate([img, cond_inp], axis=-1)
+                   if cond_inp is not None else img)
             pred_noise = self._cfg_eps(denoise_fn, inp, tvec, cond, cond_scale)
             x_start = self._threshold(
                 self.predict_start_from_noise(img, tvec, pred_noise))
@@ -179,13 +184,15 @@ class GaussianDiffusion:
         b = shape[0]
         rng, rinit = jax.random.split(rng)
         img = jax.random.normal(rinit, shape)
-        cond_inp = jnp.concatenate([fea, bbox_mask], axis=-1)
+        cond_inp = (jnp.concatenate([fea, bbox_mask], axis=-1)
+                    if fea is not None else None)
         bufs = self.bufs
 
         def step(carry, t_scalar):
             img, rng = carry
             tvec = jnp.full((b,), t_scalar, dtype=jnp.int32)
-            inp = jnp.concatenate([img, cond_inp], axis=-1)
+            inp = (jnp.concatenate([img, cond_inp], axis=-1)
+                   if cond_inp is not None else img)
             eps = self._cfg_eps(denoise_fn, inp, tvec, cond, cond_scale)
             x0 = self._threshold(self.predict_start_from_noise(img, tvec, eps))
             nd = img.ndim

@@ -193,11 +193,21 @@ class FlowDiffusion:
         fea_t = jnp.broadcast_to(fea[:, None], (b, t) + fea.shape[1:])
         mask_t = jnp.broadcast_to(mask_emb[:, None], (b, t) + mask_emb.shape[1:])
 
+        # fea/mask are constant across the DDIM scan: their init_conv
+        # contribution is precomputed ONCE (SplitInitConv linearity) and the
+        # scan body runs the 3-channel slice only — the reference re-runs
+        # the full 275-channel 7x7 conv + concat every step (:1244, :776)
+        static = self.unet.apply(
+            variables["unet"],
+            jnp.concatenate([fea_t, mask_t], axis=-1),
+            jnp.zeros((b,), jnp.int32), precompute_static=True)
+
         def denoise(x, tvec, c, drop):
-            return self.unet.apply(variables["unet"], x, tvec, c, drop)
+            return self.unet.apply(variables["unet"], x, tvec, c, drop,
+                                   static_feat=static)
 
         pred = self.diffusion.sample(denoise, rng, (b, t, ls, ls, 3),
-                                     fea_t, mask_t, cond, cond_scale, noise_seq)
+                                     None, None, cond, cond_scale, noise_seq)
 
         grid = pred[..., :2]
         if cfg.use_residual_flow:

@@ -449,6 +449,50 @@ class Upsample(nn.Module):
         return y.reshape(b, t, h * 2, w * 2, self.features)
 
 
+class SplitInitConv(nn.Module):
+    """init_conv with the kernel splittable along input channels.
+
+    The UNet entry concatenates [noisy latent (3ch), image feature (256),
+    bbox-mask emb (16)] — but fea/mask are CONSTANT across all 20 DDIM
+    steps, and conv is linear in its input channels:
+    conv(cat(a, b)) = conv_{W[:, :, :3]}(a) + (conv_{W[:, :, 3:]}(b) + bias).
+    ``static`` precomputes the second term once per video; ``noisy`` applies
+    only the 3-channel slice per step. At 256^2/200f the full 275-channel
+    7x7 conv is ~2.8 TFLOP per DDIM step recomputed 20x by the reference
+    (ca_multi_test.py:776 under :1244's per-step concat).
+
+    Param paths stay ``init_conv/{kernel,bias}`` so the torch checkpoint
+    converter is unchanged.
+    """
+    features: int
+    total_in: int
+    ksize: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 (self.ksize, self.ksize, self.total_in,
+                                  self.features))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+    def _conv(self, x, kernel):
+        p = self.ksize // 2
+        return jax.lax.conv_general_dilated(
+            x, kernel.astype(self.dtype), window_strides=(1, 1),
+            padding=((p, p), (p, p)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def full(self, x):
+        return self._conv(x, self.kernel) + self.bias.astype(self.dtype)
+
+    def noisy(self, x):
+        return self._conv(x, self.kernel[:, :, :3])
+
+    def static(self, x):
+        return self._conv(x, self.kernel[:, :, 3:]) + self.bias.astype(
+            self.dtype)
+
+
 class Unet3D(nn.Module):
     """The denoiser. Input (B, T, H, W, channels); returns (B, T, H, W, 3)."""
     dim: int = 64
@@ -479,20 +523,35 @@ class Unet3D(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, time: jax.Array,
                  cond: Optional[jax.Array] = None,
-                 cond_drop_mask: Optional[jax.Array] = None) -> jax.Array:
+                 cond_drop_mask: Optional[jax.Array] = None,
+                 static_feat: Optional[jax.Array] = None,
+                 precompute_static: bool = False) -> jax.Array:
         """
         Args:
-          x: (B, T, H, W, channels) noisy latent + image feature + bbox mask.
-          time: (B,) int32 diffusion timestep.
+          x: (B, T, H, W, channels) noisy latent + image feature + bbox mask
+            — or only the 3 noisy channels when ``static_feat`` is given, or
+            the (channels-3) fea/mask channels when ``precompute_static``.
+          time: (B,) int32 diffusion timestep (ignored for precompute).
           cond: (B, T, cond_dim) audio/pose/eye condition.
           cond_drop_mask: optional (B, T) bool; True frames get the null
             (zero) condition -- CFG dropout (:917-926; null cond is zeros when
             learn_null_cond=False, the shipped configuration).
+          static_feat: (B, T, H, W, dim) precomputed init_conv contribution
+            of the step-constant fea/mask channels (see SplitInitConv) —
+            lets the DDIM scan skip the 272-channel conv + concat per step.
+          precompute_static: return that contribution and nothing else.
         """
         b, t, h, w, _ = x.shape
         heads = self.attn_heads
         in_dtype = x.dtype
         x = x.astype(self.dtype)
+
+        iks = self.init_kernel_size
+        init_conv = SplitInitConv(self.dim, self.channels, iks, self.dtype,
+                                  name="init_conv")
+        if precompute_static:
+            y = init_conv.static(x.reshape(b * t, h, w, -1))
+            return y.reshape(b, t, h, w, self.dim).astype(in_dtype)
 
         if cond is not None and cond_drop_mask is not None:
             cond = jnp.where(cond_drop_mask[..., None], jnp.zeros_like(cond), cond)
@@ -515,10 +574,12 @@ class Unet3D(nn.Module):
             pos_bias = pos_bias[None, None]      # (1, 1, heads, T, T)
             bias_vec = None
 
-        iks = self.init_kernel_size
         x2d = x.reshape(b * t, h, w, -1)
-        x2d = nn.Conv(self.dim, (iks, iks), padding=iks // 2, dtype=self.dtype,
-                      name="init_conv")(x2d)
+        if static_feat is None:
+            x2d = init_conv.full(x2d)
+        else:
+            x2d = init_conv.noisy(x2d) + static_feat.astype(self.dtype).reshape(
+                b * t, h, w, self.dim)
         x = x2d.reshape(b, t, h, w, self.dim)
         r = x
 

@@ -148,11 +148,16 @@ def _run_ddim(args, cfg, model, variables, b, t, s, ls, img, aud, pose, eye,
         fea_t = jnp.broadcast_to(fea[:, None], (b, t) + fea.shape[1:])
         mask_t = jnp.broadcast_to(memb[:, None], (b, t) + memb.shape[1:])
 
+        static = model.unet.apply(
+            variables["unet"], jnp.concatenate([fea_t, mask_t], axis=-1),
+            jnp.zeros((b,), jnp.int32), precompute_static=True)
+
         def denoise(x, tvec, c, drop):
-            return model.unet.apply(variables["unet"], x, tvec, c, drop)
+            return model.unet.apply(variables["unet"], x, tvec, c, drop,
+                                    static_feat=static)
 
         return model.diffusion.sample(denoise, rng, (b, t, ls, ls, 3),
-                                      fea_t, mask_t, cond, 1.0, None)
+                                      None, None, cond, 1.0, None)
 
     ddim = jax.jit(ddim_only)
     tb, pred = bench(ddim, (variables, jax.random.PRNGKey(1), img, aud,

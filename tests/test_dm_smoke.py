@@ -51,6 +51,23 @@ class TestUnet3D:
         b = local.apply(params, x, t, cond)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
+    def test_static_split_matches_full(self, unet_and_params):
+        """precomputed static init_conv term + 3-channel step == full
+        275-channel conv (SplitInitConv linearity — the DDIM-scan
+        optimization must be numerically invisible)."""
+        model, params = unet_and_params
+        rs = np.random.RandomState(5)
+        x3 = jnp.asarray(rs.randn(B, T, H, W, 3), jnp.float32)
+        cnd_img = jnp.asarray(rs.randn(B, T, H, W, CH - 3), jnp.float32)
+        cond = jnp.asarray(rs.randn(B, T, 1032), jnp.float32)
+        t = jnp.asarray([11])
+        full = model.apply(params, jnp.concatenate([x3, cnd_img], axis=-1),
+                           t, cond)
+        static = model.apply(params, cnd_img, t, precompute_static=True)
+        split = model.apply(params, x3, t, cond, static_feat=static)
+        np.testing.assert_allclose(np.asarray(split), np.asarray(full),
+                                   atol=1e-4)
+
     def test_bf16_close_to_f32(self, unet_and_params):
         """bf16 compute path: params shared with f32, output f32, close."""
         model, params = unet_and_params
