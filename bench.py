@@ -9,12 +9,18 @@ Weights are random (the released .pth checkpoints are not in this image and
 egress is zero) — throughput is weight-independent.
 
 Prints exactly ONE JSON line to stdout:
-  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N,
+   "compile_s": N, "tflops": N, "mfu_pct": N}
 
 vs_baseline: the reference repo publishes NO throughput numbers
 (BASELINE.md). We compare against a documented estimate of the reference on
 A100: 200 frames / ~16 s e2e = 12.5 fps (20 DDIM steps over a T=200 windowed-
 attention UNet + 200 sequential per-frame AE decodes + per-step host sync).
+
+MFU: analytic FLOPs come from XLA's own cost model on the compiled program
+(``compiled.cost_analysis()['flops']``) divided by measured wall time, as a
+fraction of v5e bf16 peak (197 TFLOP/s). This answers "is it actually fast"
+independently of the A100 estimate (VERDICT r2 weak #3).
 """
 
 import argparse
@@ -24,6 +30,18 @@ import sys
 import time
 
 EST_REF_A100_FPS = 12.5
+V5E_PEAK_TFLOPS_BF16 = 197.0
+
+
+def compiled_flops(compiled) -> float:
+    """XLA cost-model FLOPs of a compiled program (0.0 if unavailable)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
 
 
 def main():
@@ -33,9 +51,10 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--attn", default="local", choices=["full", "local", "pallas"],
                     help="local = linear-memory sliding-window attention "
-                         "(packed Pallas kernel on TPU; 129.3 vs full's "
-                         "105.4 fps at 128^2) — the default; full = the "
-                         "reference's O(T^2) windowed full attention")
+                         "(packed Pallas kernel on TPU for >=256-row levels; "
+                         "measured 136.5 vs full's ~105 fps at 128^2) — the "
+                         "default; full = the reference's O(T^2) windowed "
+                         "full attention")
     ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--batch", type=int, default=1,
@@ -46,6 +65,14 @@ def main():
                     help="decode frames in chunks (default: 0 at 128^2, "
                          "16 at 256^2 where full-res conv activations for "
                          "all frames would OOM; 16 measured fastest)")
+    ap.add_argument("--json-out", default=None,
+                    help="also write the JSON result line to this file "
+                         "(committed artifacts: BENCH_256.json, "
+                         "BENCH_400f.json)")
+    ap.add_argument("--compile-budget", type=float, default=0.0,
+                    help="fail (exit 3) if compile+first-run exceeds this "
+                         "many seconds (0 = no budget). Budgets: 120 s at "
+                         "128^2, 240 s at 256^2 (VERDICT r2 weak #1)")
     args = ap.parse_args()
 
     import jax
@@ -83,7 +110,8 @@ def main():
 
     t0 = time.time()
     variables = model.init_variables(jax.random.PRNGKey(0), num_frames=2)
-    print(f"init: {time.time()-t0:.1f}s", file=sys.stderr)
+    init_s = time.time() - t0
+    print(f"init: {init_s:.1f}s", file=sys.stderr)
 
     b, t, s = args.batch, args.frames, args.img_size
     rng = np.random.RandomState(0)
@@ -102,16 +130,20 @@ def main():
         # fetching bytes to host forces execution (verify skill gotcha)
         np.asarray(out["sample_out_vid"][0, 0, 0, 0])
 
+    # AOT compile so the same executable serves timing AND cost analysis
     t0 = time.time()
-    out = sampler(variables, jax.random.PRNGKey(1), img, aud, pose, eye, bbox)
+    compiled = sampler.lower(variables, jax.random.PRNGKey(1), img, aud, pose,
+                             eye, bbox).compile()
+    out = compiled(variables, jax.random.PRNGKey(1), img, aud, pose, eye, bbox)
     force(out)
-    print(f"compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
+    compile_s = time.time() - t0
+    print(f"compile+first run: {compile_s:.1f}s", file=sys.stderr)
 
     times = []
     for i in range(args.repeats):
         t0 = time.time()
-        out = sampler(variables, jax.random.PRNGKey(2 + i), img, aud, pose,
-                      eye, bbox)
+        out = compiled(variables, jax.random.PRNGKey(2 + i), img, aud, pose,
+                       eye, bbox)
         force(out)
         times.append(time.time() - t0)
     best = min(times)
@@ -123,15 +155,35 @@ def main():
     print(f"e2e sec per 10s video (250 frames): {250.0 * b / fps:.2f}s",
           file=sys.stderr)
 
+    flops = compiled_flops(compiled)
+    tflops = flops / best / 1e12 if flops else 0.0
+    mfu = 100.0 * tflops / V5E_PEAK_TFLOPS_BF16
+    if flops:
+        print(f"XLA cost-model FLOPs {flops/1e12:.2f} TFLOP/call -> "
+              f"{tflops:.1f} TFLOP/s achieved = {mfu:.1f}% of v5e bf16 peak "
+              f"({V5E_PEAK_TFLOPS_BF16:.0f})", file=sys.stderr)
+
     batch_note = f", batch {b}" if b > 1 else ""
-    print(json.dumps({
+    result = {
         "metric": f"generated frames/sec/chip ({s}x{s}, {args.steps} DDIM steps, "
                   f"{t} frames e2e incl. LFG decode, attn={args.attn}"
                   f"{batch_note})",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / EST_REF_A100_FPS, 3),
-    }))
+        "compile_s": round(compile_s, 1),
+        "tflops": round(tflops, 2),
+        "mfu_pct": round(mfu, 2),
+    }
+    line = json.dumps(result)
+    print(line)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            f.write(line + "\n")
+    if args.compile_budget and compile_s > args.compile_budget:
+        print(f"COMPILE BUDGET EXCEEDED: {compile_s:.1f}s > "
+              f"{args.compile_budget:.0f}s", file=sys.stderr)
+        sys.exit(3)
 
 
 if __name__ == "__main__":

@@ -48,6 +48,69 @@ def diversity(feats: np.ndarray, num_pairs: int = 10000,
     return float(np.linalg.norm(feats[i] - feats[j], axis=-1).mean())
 
 
+def diversity_multimodality(activations: np.ndarray, labels: np.ndarray,
+                            num_labels: int, diversity_times: int = 200,
+                            multimodality_times: int = 20,
+                            seed: int = 0):
+    """action2motion diversity + multimodality, exactly the reference
+    algorithm (PBnet/src/evaluate/action2motion/diversity.py:6-46).
+
+    activations: (N, D) per-sample features; labels: (N,) int condition ids
+    (for DAWN: the audio/identity a sample was generated from — samples that
+    share a label are re-generations of the same conditioning, so
+    multimodality measures within-condition variation).
+    """
+    rng = np.random.RandomState(seed)
+    labels = np.asarray(labels, np.int64)
+    n = len(labels)
+
+    first = rng.randint(0, n, diversity_times)
+    second = rng.randint(0, n, diversity_times)
+    div = float(np.mean(np.linalg.norm(
+        activations[first] - activations[second], axis=-1)))
+
+    multimodality = 0.0
+    quotas = np.repeat(multimodality_times, num_labels)
+    while np.any(quotas > 0):
+        i = rng.randint(0, n)
+        li = labels[i]
+        if not quotas[li]:
+            continue
+        j = rng.randint(0, n)
+        while labels[j] != li:
+            j = rng.randint(0, n)
+        quotas[li] -= 1
+        multimodality += float(np.linalg.norm(activations[i] - activations[j]))
+    multimodality /= multimodality_times * num_labels
+    return div, multimodality
+
+
+def recognition_accuracy(probs: np.ndarray, labels: np.ndarray):
+    """Classifier accuracy + confusion matrix
+    (action2motion/accuracy.py:4-15), classifier-agnostic: ``probs`` is any
+    (N, num_labels) score matrix. The reference's classifier is an
+    SMPL-body STGCN (inapplicable to 6-d head pose, DEVIATIONS); use
+    ``nearest_centroid_probs`` for a feature-space stand-in."""
+    labels = np.asarray(labels, np.int64)
+    num = probs.shape[1]
+    pred = probs.argmax(axis=1)
+    confusion = np.zeros((num, num), np.int64)
+    for y, p in zip(labels, pred):
+        confusion[y][p] += 1
+    return float(np.trace(confusion) / max(confusion.sum(), 1)), confusion
+
+
+def nearest_centroid_probs(train_feats: np.ndarray, train_labels: np.ndarray,
+                           feats: np.ndarray, num_labels: int) -> np.ndarray:
+    """Negative-distance-to-class-centroid scores: the in-repo recognition
+    stand-in (real samples define centroids; a generated sample is
+    'recognized' if it lands nearest its own condition's centroid)."""
+    cent = np.stack([train_feats[train_labels == c].mean(axis=0)
+                     for c in range(num_labels)])
+    d = np.linalg.norm(feats[:, None] - cent[None], axis=-1)
+    return -d
+
+
 def temporal_smoothness(seq: np.ndarray) -> float:
     """Mean |x_t - x_{t+1}| over a (T, D) or (B, T, D) sequence."""
     d = np.diff(seq, axis=-2)

@@ -139,3 +139,74 @@ def evaluate_quality(generator, variables, real: np.ndarray, fake: np.ndarray,
                                           per_video=True)
     out.update(lip_sync_proxy(fake, real, mouth_lmk))
     return out
+
+
+def evaluate_generated_batch(generator, variables, videos: np.ndarray,
+                             labels: np.ndarray, source_images: np.ndarray,
+                             real_videos: Optional[np.ndarray] = None,
+                             mouth_lmk: Optional[np.ndarray] = None) -> Dict:
+    """One-command metrics for an OOD generation batch (scripts/ood_test.py
+    --metrics): Frechet + diversity + multimodality + accuracy + lip-sync,
+    per identity and aggregate.
+
+    videos: (N, T, H, W, 3) generated clips in [0, 1]; labels: (N,) identity
+    index of each clip (>= 2 clips per identity enables multimodality);
+    source_images: (num_identities, H, W, 3); real_videos: optional GT clips
+    aligned with ``videos`` for the Frechet reference set and the mouth
+    proxy (without GT, the reference set is the source-image features —
+    golden-output pattern: LFG/test_flowautoenc_hdtf_video.py:57).
+    """
+    from dawn_tpu.evaluate.metrics import (diversity_multimodality,
+                                           nearest_centroid_probs,
+                                           recognition_accuracy)
+
+    labels = np.asarray(labels, np.int64)
+    num_ids = int(labels.max()) + 1
+    frame_feats = lfg_frame_features(generator, variables, videos)
+    vid_feats = video_features(frame_feats, videos.shape[0])
+
+    src_feats = lfg_frame_features(generator, variables,
+                                   source_images[:, None])
+
+    report: Dict = {"per_identity": {}}
+    t = videos.shape[1]
+    frame_labels = np.repeat(labels, t)
+
+    if real_videos is not None:
+        real_feats = lfg_frame_features(generator, variables, real_videos)
+        report["frechet_frames_vs_real"] = frechet_distance(
+            real_feats, frame_feats)
+        report.update({f"lip_{k}": v for k, v in
+                       lip_sync_proxy(videos, real_videos, mouth_lmk).items()})
+    else:
+        report["lip_note"] = ("no GT videos supplied - mouth proxy needs "
+                              "--real-dir")
+
+    div, mm = diversity_multimodality(
+        vid_feats, labels, num_ids,
+        multimodality_times=min(20, max(1, np.bincount(labels).min() - 1) * 4))
+    report["diversity"] = div
+    report["multimodality"] = mm
+
+    # identity-recognition accuracy: source-image features are the
+    # centroids; a generated frame should land nearest its own identity
+    probs = nearest_centroid_probs(src_feats, np.arange(num_ids),
+                                   frame_feats, num_ids)
+    acc, confusion = recognition_accuracy(probs, frame_labels)
+    report["identity_accuracy"] = acc
+    report["identity_confusion"] = confusion.tolist()
+
+    for c in range(num_ids):
+        sel = labels == c
+        rep_c: Dict = {
+            "n_clips": int(sel.sum()),
+            "frechet_frames_vs_source": frechet_distance(
+                np.repeat(src_feats[c: c + 1], 8, axis=0),
+                frame_feats[np.repeat(sel, t)]) if sel.any() else None,
+        }
+        if real_videos is not None and sel.any():
+            rep_c.update({f"lip_{k}": v for k, v in lip_sync_proxy(
+                videos[sel], real_videos[sel],
+                None if mouth_lmk is None else mouth_lmk[sel]).items()})
+        report["per_identity"][int(c)] = rep_c
+    return report

@@ -179,17 +179,28 @@ class GaussianDiffusion:
 
     def p_sample_loop(self, denoise_fn: DenoiseFn, rng: jax.Array,
                       shape: Tuple[int, ...], fea: jax.Array, bbox_mask: jax.Array,
-                      cond: Optional[jax.Array], cond_scale: float = 1.0) -> jax.Array:
-        """Full ancestral sampling over all train timesteps (:1124-1136)."""
+                      cond: Optional[jax.Array], cond_scale: float = 1.0,
+                      noise_seq: Optional[jax.Array] = None) -> jax.Array:
+        """Full ancestral sampling over all train timesteps (:1124-1136).
+
+        ``noise_seq`` optionally supplies (timesteps+1, *shape) fixed
+        gaussians (index 0 = x_T init, then one per step — the reference's
+        p_sample draws randn_like at EVERY step including t=0, :1117) for
+        bitwise-reproducible parity tests.
+        """
         b = shape[0]
-        rng, rinit = jax.random.split(rng)
-        img = jax.random.normal(rinit, shape)
+        if noise_seq is None:
+            rng, rinit = jax.random.split(rng)
+            img = jax.random.normal(rinit, shape)
+        else:
+            img = noise_seq[0]
         cond_inp = (jnp.concatenate([fea, bbox_mask], axis=-1)
                     if fea is not None else None)
         bufs = self.bufs
 
-        def step(carry, t_scalar):
+        def step(carry, xs):
             img, rng = carry
+            t_scalar, i = xs
             tvec = jnp.full((b,), t_scalar, dtype=jnp.int32)
             inp = (jnp.concatenate([img, cond_inp], axis=-1)
                    if cond_inp is not None else img)
@@ -199,14 +210,18 @@ class GaussianDiffusion:
             mean = (_extract(bufs["posterior_mean_coef1"], tvec, nd) * x0 +
                     _extract(bufs["posterior_mean_coef2"], tvec, nd) * img)
             logvar = _extract(bufs["posterior_log_variance_clipped"], tvec, nd)
-            rng, rstep = jax.random.split(rng)
-            noise = jax.random.normal(rstep, img.shape)
+            if noise_seq is None:
+                rng, rstep = jax.random.split(rng)
+                noise = jax.random.normal(rstep, img.shape)
+            else:
+                noise = noise_seq[i + 1]
             nonzero = (t_scalar > 0).astype(img.dtype)
             img = mean + nonzero * jnp.exp(0.5 * logvar) * noise
             return (img, rng), None
 
         ts = jnp.arange(self.timesteps - 1, -1, -1)
-        (img, _), _ = jax.lax.scan(step, (img, rng), ts)
+        (img, _), _ = jax.lax.scan(step, (img, rng),
+                                   (ts, jnp.arange(self.timesteps)))
         return img
 
     def sample(self, denoise_fn: DenoiseFn, rng: jax.Array, shape,
@@ -217,24 +232,40 @@ class GaussianDiffusion:
             return self.ddim_sample(denoise_fn, rng, shape, fea, bbox_mask,
                                     cond, cond_scale, noise_seq)
         return self.p_sample_loop(denoise_fn, rng, shape, fea, bbox_mask,
-                                  cond, cond_scale)
+                                  cond, cond_scale, noise_seq)
 
     def interpolate(self, denoise_fn: DenoiseFn, rng: jax.Array, x1: jax.Array,
                     x2: jax.Array, fea, bbox_mask, cond=None,
-                    t: Optional[int] = None, lam: float = 0.5) -> jax.Array:
-        """Latent interpolation between two videos (:1210-1224)."""
+                    t: Optional[int] = None, lam: float = 0.5,
+                    noise_seq: Optional[jax.Array] = None) -> jax.Array:
+        """Latent interpolation between two videos (:1210-1224).
+
+        Note the reference's own ``interpolate`` is broken upstream — it
+        calls ``p_sample(img, t)`` without the required ``fea`` argument
+        (:1223 vs :1113) and raises TypeError; this implements the clearly
+        intended semantics (the DDPM interpolate with the conditioning that
+        every other sampler path threads through). ``noise_seq``:
+        (2 + t, *shape) — [0]/[1] are the q_sample noises for x1/x2, then
+        one per reverse step.
+        """
         t = self.timesteps - 1 if t is None else t
         b = x1.shape[0]
         tb = jnp.full((b,), t, dtype=jnp.int32)
-        rng, r1, r2 = jax.random.split(rng, 3)
-        xt1 = self.q_sample(x1, tb, jax.random.normal(r1, x1.shape))
-        xt2 = self.q_sample(x2, tb, jax.random.normal(r2, x2.shape))
+        if noise_seq is None:
+            rng, r1, r2 = jax.random.split(rng, 3)
+            n1 = jax.random.normal(r1, x1.shape)
+            n2 = jax.random.normal(r2, x2.shape)
+        else:
+            n1, n2 = noise_seq[0], noise_seq[1]
+        xt1 = self.q_sample(x1, tb, n1)
+        xt2 = self.q_sample(x2, tb, n2)
         img = (1 - lam) * xt1 + lam * xt2
         cond_inp = jnp.concatenate([fea, bbox_mask], axis=-1)
         bufs = self.bufs
 
-        def step(carry, t_scalar):
+        def step(carry, xs):
             img, rng = carry
+            t_scalar, i = xs
             tvec = jnp.full((b,), t_scalar, dtype=jnp.int32)
             inp = jnp.concatenate([img, cond_inp], axis=-1)
             eps = self._cfg_eps(denoise_fn, inp, tvec, cond, 1.0)
@@ -243,10 +274,14 @@ class GaussianDiffusion:
             mean = (_extract(bufs["posterior_mean_coef1"], tvec, nd) * x0 +
                     _extract(bufs["posterior_mean_coef2"], tvec, nd) * img)
             logvar = _extract(bufs["posterior_log_variance_clipped"], tvec, nd)
-            rng, rstep = jax.random.split(rng)
-            noise = jax.random.normal(rstep, img.shape)
+            if noise_seq is None:
+                rng, rstep = jax.random.split(rng)
+                noise = jax.random.normal(rstep, img.shape)
+            else:
+                noise = noise_seq[i + 2]
             nonzero = (t_scalar > 0).astype(img.dtype)
             return (mean + nonzero * jnp.exp(0.5 * logvar) * noise, rng), None
 
-        (img, _), _ = jax.lax.scan(step, (img, rng), jnp.arange(t - 1, -1, -1))
+        (img, _), _ = jax.lax.scan(step, (img, rng),
+                                   (jnp.arange(t - 1, -1, -1), jnp.arange(t)))
         return img

@@ -79,6 +79,8 @@ class FlowDiffusionConfig:
     dtype: Any = jnp.float32       # UNet compute dtype (bf16 = ~30% faster)
     lfg_dtype: Any = jnp.float32   # LFG decode is warp/gather-bound: bf16
                                    # measured ~2% SLOWER on v5e — keep f32
+    lfg_max_features: int = 512    # LFG decoder width (released: 512)
+    lfg_num_bottleneck: int = 6    # LFG bottleneck ResBlocks (released: 6)
     lfg_decode_chunk: int = 0      # decode frames in lax.map chunks of this
                                    # size (0 = all at once). At 256^2 the
                                    # full-res conv activations for 200
@@ -115,7 +117,10 @@ class FlowDiffusion:
             loss_type="l2",
             use_dynamic_thres=True,
             null_cond_prob=config.null_cond_prob)
-        self.generator = LFGGenerator(dtype=config.lfg_dtype)
+        self.generator = LFGGenerator(
+            max_features=config.lfg_max_features,
+            num_bottleneck_blocks=config.lfg_num_bottleneck,
+            dtype=config.lfg_dtype)
         self.face_loc = FaceLocEncoder()
 
     # ------------------------------------------------------------------ init
@@ -190,17 +195,16 @@ class FlowDiffusion:
         mask = generate_bbox_mask(bbox, cfg.img_size)
         mask_emb = self.face_loc.apply(variables["face_loc"], mask)  # (B, ls, ls, 16)
 
-        fea_t = jnp.broadcast_to(fea[:, None], (b, t) + fea.shape[1:])
-        mask_t = jnp.broadcast_to(mask_emb[:, None], (b, t) + mask_emb.shape[1:])
-
-        # fea/mask are constant across the DDIM scan: their init_conv
-        # contribution is precomputed ONCE (SplitInitConv linearity) and the
-        # scan body runs the 3-channel slice only — the reference re-runs
-        # the full 275-channel 7x7 conv + concat every step (:1244, :776)
-        static = self.unet.apply(
+        # fea/mask are constant across the DDIM scan AND across frames: their
+        # init_conv contribution is precomputed ONCE on a single frame
+        # (SplitInitConv linearity) and broadcast over T; the scan body runs
+        # the 3-channel slice only — the reference re-runs the full
+        # 275-channel 7x7 conv + concat every step (:1244, :776)
+        static1 = self.unet.apply(
             variables["unet"],
-            jnp.concatenate([fea_t, mask_t], axis=-1),
+            jnp.concatenate([fea[:, None], mask_emb[:, None]], axis=-1),
             jnp.zeros((b,), jnp.int32), precompute_static=True)
+        static = jnp.broadcast_to(static1, (b, t) + static1.shape[2:])
 
         def denoise(x, tvec, c, drop):
             return self.unet.apply(variables["unet"], x, tvec, c, drop,
@@ -272,4 +276,31 @@ class FlowDiffusion:
             init_eye: fn(variables, rng, img, aud, pose, eye, bbox,
                          init_pose=init_pose, init_eye=init_eye),
             in_shardings=(rep, rep, dat, dat, dat, dat, dat, dat, dat),
+        )
+
+    def make_seq_sampler(self, mesh, cond_scale: float = 1.0):
+        """Sequence-parallel single-video sampler: FRAME axis over 'seq'.
+
+        The reference's core VRAM story is bounding live activations per
+        video length (README.md:34-38, the local-attention path); its
+        multi-chip analogue is sharding the frame axis of the whole DDIM
+        scan + decode over the 'seq' mesh axis so a video longer than one
+        chip's HBM spreads across ICI. Weights and the source image are
+        replicated; every (B, T, ...) input/output is sharded on T. GSPMD
+        inserts the halo exchanges for the windowed temporal attention and
+        the frame-axis collectives for the video-wide GroupNorm — the same
+        shardings the training step already exercises
+        (train_dm.make_sharded_step).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        seq = NamedSharding(mesh, P(None, "seq"))
+        fn = functools.partial(self.sample_one_video, cond_scale=cond_scale)
+        return jax.jit(
+            lambda variables, rng, img, aud, pose, eye, bbox, init_pose,
+            init_eye: fn(variables, rng, img, aud, pose, eye, bbox,
+                         init_pose=init_pose, init_eye=init_eye),
+            in_shardings=(rep, rep, rep, seq, seq, seq, rep, rep, rep),
+            out_shardings=seq,
         )

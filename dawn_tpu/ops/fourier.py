@@ -24,6 +24,17 @@ def hf_loss_2(pred: jax.Array, target: jax.Array, axis: int = 1) -> jax.Array:
     return jnp.abs(fy - fx)
 
 
+def hf_loss(fea: jax.Array, mask: jax.Array, axis: int = 1) -> jax.Array:
+    """|rfft(fea) * (1 - mask)| along ``axis`` (filter_fourier.py:69-75).
+
+    The unused-by-the-pipeline plain variant, kept for registry completeness:
+    ``mask`` is a low-pass weighting in rFFT space (the reference passes a
+    gaussian density); the loss is the masked high-frequency magnitude.
+    """
+    f = jnp.fft.rfft(fea, axis=axis)
+    return jnp.abs(f * (1.0 - mask))
+
+
 def fourier_filter_1d(x: jax.Array, axis: int = 0) -> jax.Array:
     """Zero out the top 3/4 of temporal frequencies (filter_fourier.py:50-67)."""
     n = x.shape[axis]

@@ -190,7 +190,17 @@ def local_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
              pl.next_power_of_2(max(window, 1)))
     nb = -(-t // bq)
     t_pad = nb * bq
-    g = g_rows if g_rows is not None else _rows_per_step(n, h, bq)
+    if g_rows is not None:
+        # an explicit g_rows must tile the (n, h) row-major sequence order:
+        # a non-divisor would truncate the grid (trailing rows unwritten) and
+        # misalign the per-head bias tiling below
+        g = g_rows
+        while g > h and (g % h != 0 or (n * h) % g != 0):
+            g -= 1
+        g = max(g, h) if (n * h) % max(g, h) == 0 else h
+        assert g % h == 0 and (n * h) % g == 0, (g_rows, n, h)
+    else:
+        g = _rows_per_step(n, h, bq)
 
     def prep(x):
         return jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - t), (0, 0))).reshape(
@@ -303,6 +313,13 @@ def local_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
     the banded path; see scripts/probe_unet_phases.py.
 
     q, k, v: (N, T, heads*dh), q pre-scaled and pre-rotated.
+
+    Note: when heads*dh is not a multiple of 128 the head-group fallback
+    (hb = heads) makes the lane block the full hidden axis; that path is
+    verified in interpret mode only — Mosaic's lane-divisibility constraints
+    for such shapes are untested on real TPU hardware (DAWN's shipped config
+    is heads=8, dh=32 -> hidden 256, which always splits into 128-lane
+    groups).
     """
     import jax.experimental.pallas as pl
     import jax.experimental.pallas.tpu as pltpu

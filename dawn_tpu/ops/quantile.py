@@ -46,20 +46,29 @@ def quantile_nonneg(x: jax.Array, q: float) -> jax.Array:
     """Exact q-quantile along the last axis of non-negative f32 ``x``.
 
     x: (B, N) with every element >= 0 (DAWN uses |pred_x0|). Returns (B,).
+
+    NaN handling matches ``jnp.quantile``: any NaN in a row propagates to
+    that row's result (NaN bit patterns exceed the finite search bound, so
+    without the guard they would be silently ignored and a diverged model's
+    NaN x0 would be masked instead of surfacing through dynamic
+    thresholding). The guard is one extra fused pass over data already read.
     """
     assert x.ndim == 2, x.shape
     n = x.shape[-1]
     b = x.shape[0]
-    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    xf = x.astype(jnp.float32)
+    bits = jax.lax.bitcast_convert_type(xf, jnp.int32)
     pos = q * (n - 1)
     k_lo = int(pos)
     frac = pos - k_lo
     if frac == 0.0 or k_lo + 1 > n - 1:
         ks = jnp.full((1, b), k_lo, jnp.int32)
         v = _kth_smallest_bits(bits, ks)
-        return jax.lax.bitcast_convert_type(v[0], jnp.float32)
-    ks = jnp.stack([jnp.full((b,), k_lo, jnp.int32),
-                    jnp.full((b,), k_lo + 1, jnp.int32)])
-    v = _kth_smallest_bits(bits, ks)
-    vf = jax.lax.bitcast_convert_type(v, jnp.float32)
-    return vf[0] * (1.0 - frac) + vf[1] * frac
+        out = jax.lax.bitcast_convert_type(v[0], jnp.float32)
+    else:
+        ks = jnp.stack([jnp.full((b,), k_lo, jnp.int32),
+                        jnp.full((b,), k_lo + 1, jnp.int32)])
+        v = _kth_smallest_bits(bits, ks)
+        vf = jax.lax.bitcast_convert_type(v, jnp.float32)
+        out = vf[0] * (1.0 - frac) + vf[1] * frac
+    return jnp.where(jnp.any(jnp.isnan(xf), axis=-1), jnp.nan, out)

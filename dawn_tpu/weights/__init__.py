@@ -10,3 +10,4 @@ from dawn_tpu.weights.torch_convert import (
     convert_pbnet,
     convert_pbnet_checkpoint,
 )
+from dawn_tpu.weights.torch_convert import convert_face_loc

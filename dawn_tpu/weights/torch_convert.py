@@ -28,9 +28,11 @@ def _np(x) -> np.ndarray:
 
 
 def load_torch_file(path: str) -> Dict[str, np.ndarray]:
-    import torch
-    obj = torch.load(path, map_location="cpu", weights_only=False)
-    return obj
+    """Load a torch checkpoint WITHOUT torch (pure zip+pickle reader,
+    dawn_tpu.weights.pth_reader) — the TPU image carries no torch; only
+    legacy pre-1.6 files fall back to ``torch.load`` inside the reader."""
+    from dawn_tpu.weights.pth_reader import load_pth
+    return load_pth(path)
 
 
 def sd_numpy(sd: Mapping[str, Any]) -> Dict[str, np.ndarray]:
@@ -187,6 +189,13 @@ def convert_dawn_checkpoint(path: str, num_levels: int = 4) -> Dict[str, Any]:
     ckpt = load_torch_file(path)
     return convert_unet3d(sd_numpy(ckpt["diffusion"]), num_levels,
                           prefix="denoise_fn.")
+
+
+def convert_face_loc(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Face_loc_Encoder state_dict (..._init_cond_test.py:39-50) ->
+    dawn_tpu FaceLocEncoder params (two stride-2 convs)."""
+    return {"params": {"conv1": _conv2d(sd, "conv1"),
+                       "conv2": _conv2d(sd, "conv2")}}
 
 
 # --------------------------------------------------------------------- LFG

@@ -42,6 +42,18 @@ def main():
     ap.add_argument("--lfg-ckpt", default=None)
     ap.add_argument("--hubert-dir", default=None)
     ap.add_argument("--seed", type=int, default=1234)
+    ap.add_argument("--metrics", action="store_true",
+                    help="after generating, emit metrics.json (Frechet / "
+                         "diversity / multimodality / identity-accuracy / "
+                         "lip-sync) over the whole batch — the one-command "
+                         "generate->metrics path (golden-output pattern, "
+                         "LFG/test_flowautoenc_hdtf_video.py:57)")
+    ap.add_argument("--samples-per-pair", type=int, default=1,
+                    help=">=2 enables the multimodality metric (several "
+                         "generations of the same conditioning)")
+    ap.add_argument("--real-dir", default=None,
+                    help="folder of GT videos named <tag>.mp4 for the "
+                         "Frechet reference set + mouth lip-sync proxy")
     args = ap.parse_args()
 
     if args.pairs:
@@ -53,30 +65,114 @@ def main():
     from dawn_tpu.pipeline.generator import GeneratorPaths, VideoGenerator
     from dawn_tpu.pipeline import pose_blink
 
+    gen_videos, gen_labels, src_images, real_videos = [], [], [], []
+    video_model = None
+
     for i, (image, audio) in enumerate(pairs):
         tag = f"{os.path.splitext(os.path.basename(image))[0]}_" \
               f"{os.path.splitext(os.path.basename(audio))[0]}"
         cache = os.path.join(args.cache, tag)
-        print(f"[{i + 1}/{len(pairs)}] {tag}")
-        t0 = time.time()
 
         paths = GeneratorPaths(
             hubert_dir=args.hubert_dir or GeneratorPaths.hubert_dir,
             pbnet_pose_ckpt=args.pose_ckpt or GeneratorPaths.pbnet_pose_ckpt,
             pbnet_blink_ckpt=args.blink_ckpt or GeneratorPaths.pbnet_blink_ckpt,
             dawn_ckpt=args.dawn_ckpt, lfg_ckpt=args.lfg_ckpt)
-        gen = VideoGenerator(audio, image, args.output, cache,
-                             args.resolution, paths, seed=args.seed)
-        gen.extract_pose()
-        gen.process_audio()
-        if args.both_ckpt:
-            # joint-checkpoint drive generation (the *_both_* OOD scripts)
-            pose_blink.run(os.path.join(cache, "target_audio.npy"), cache,
-                           cache, ckpt=args.both_ckpt, seed=args.seed)
-        else:
-            gen.generate_pose_blink()
-        out = gen.generate_final_video()
-        print(f"  -> {out} ({time.time() - t0:.1f}s)")
+
+        for s_idx in range(args.samples_per_pair):
+            print(f"[{i + 1}/{len(pairs)}] {tag} sample {s_idx}")
+            t0 = time.time()
+            outdir = (args.output if args.samples_per_pair == 1
+                      else os.path.join(args.output, f"s{s_idx}"))
+            gen = VideoGenerator(audio, image, outdir, cache,
+                                 args.resolution, paths,
+                                 seed=args.seed + s_idx)
+            if video_model is not None:
+                gen._video_model = video_model   # models stay resident
+            gen.extract_pose()
+            gen.process_audio()
+            if args.both_ckpt:
+                # joint-checkpoint drive generation (the *_both_* OOD scripts)
+                pose_blink.run(os.path.join(cache, "target_audio.npy"), cache,
+                               cache, ckpt=args.both_ckpt,
+                               seed=args.seed + s_idx)
+            else:
+                gen.generate_pose_blink()
+            out = gen.generate_final_video()
+            video_model = gen._video_model
+            print(f"  -> {out} ({time.time() - t0:.1f}s)")
+
+            if args.metrics:
+                name = os.path.splitext(os.path.basename(image))[0]
+                gen_videos.append(_load_frames(
+                    os.path.join(outdir, name, "img"), args.resolution))
+                gen_labels.append(i)
+        if args.metrics:
+            src_images.append(_load_image(image, args.resolution))
+            if args.real_dir:
+                real = _load_video(os.path.join(args.real_dir, f"{tag}.mp4"),
+                                   args.resolution)
+                for _ in range(args.samples_per_pair):
+                    real_videos.append(real)
+
+    if args.metrics:
+        _emit_metrics(args, video_model, gen_videos, gen_labels, src_images,
+                      real_videos)
+
+
+def _load_image(path, size):
+    import numpy as np
+    from PIL import Image
+    img = Image.open(path).convert("RGB").resize((size, size), Image.BILINEAR)
+    return np.asarray(img, np.float32) / 255.0
+
+
+def _load_frames(img_dir, size):
+    import numpy as np
+    import cv2
+    frames = []
+    for f in sorted(os.listdir(img_dir)):
+        if f.endswith(".png"):
+            bgr = cv2.imread(os.path.join(img_dir, f))
+            frames.append(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB))
+    return np.asarray(frames, np.float32) / 255.0
+
+
+def _load_video(path, size):
+    import numpy as np
+    import cv2
+    cap = cv2.VideoCapture(path)
+    frames = []
+    while True:
+        ok, bgr = cap.read()
+        if not ok:
+            break
+        bgr = cv2.resize(bgr, (size, size))
+        frames.append(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB))
+    cap.release()
+    return np.asarray(frames, np.float32) / 255.0
+
+
+def _emit_metrics(args, video_model, gen_videos, gen_labels, src_images,
+                  real_videos):
+    import json
+    import numpy as np
+    from dawn_tpu.evaluate.quality import evaluate_generated_batch
+
+    t = min(v.shape[0] for v in gen_videos)
+    videos = np.stack([v[:t] for v in gen_videos])
+    real = (np.stack([r[:t] for r in real_videos])
+            if real_videos else None)
+    model, variables = video_model
+    report = evaluate_generated_batch(
+        model.generator, variables["generator"], videos,
+        np.asarray(gen_labels), np.stack(src_images), real_videos=real)
+    path = os.path.join(args.output, "metrics.json")
+    with open(path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"metrics -> {path}")
+    print(json.dumps({k: v for k, v in report.items()
+                      if not isinstance(v, (dict, list))}, indent=2))
 
 
 if __name__ == "__main__":

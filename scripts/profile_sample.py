@@ -24,17 +24,35 @@ def _force(out):
     np.asarray(leaf[(0,) * leaf.ndim])
 
 
+V5E_PEAK_TFLOPS_BF16 = 197.0
+
+
 def bench(fn, args, repeats=3, name=""):
+    """AOT-compile, time best-of-N, and report achieved TFLOP/s + %-of-peak
+    from XLA's own cost model (VERDICT r2 weak #3: MFU accounting)."""
     t0 = time.time()
-    out = fn(*args)
+    compiled = fn.lower(*args).compile()
+    out = compiled(*args)
     _force(out)
     print(f"{name}: compile+run {time.time()-t0:.1f}s", file=sys.stderr)
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = fn(*args)
+        out = compiled(*args)
         _force(out)
         best = min(best, time.perf_counter() - t0)
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+    except Exception:
+        flops = 0.0
+    if flops:
+        tf = flops / best / 1e12
+        print(f"{name}: {flops/1e12:.2f} TFLOP/call -> {tf:.1f} TFLOP/s "
+              f"achieved = {100*tf/V5E_PEAK_TFLOPS_BF16:.1f}% of v5e bf16 "
+              f"peak", file=sys.stderr)
     return best, out
 
 
