@@ -248,17 +248,20 @@ def local_attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
     return out.reshape(n, h, t_pad, d)[:, :, :t]
 
 
-def _full_bias(heads: int, t: int, tp: int, window: int,
+def _full_bias(heads: int, t: int, tq: int, tk: int, window: int,
                bias_vec: Optional[jax.Array]) -> jax.Array:
-    """(heads, tp, tp) additive bias: T5 window bias + window mask + key
-    padding validity, ALL baked in statically (no in-kernel masking)."""
-    ii = np.arange(tp)[:, None]
-    jj = np.arange(tp)[None, :]
+    """(heads, tq, tk) additive bias: T5 window bias + window mask + key
+    padding validity, ALL baked in statically (no in-kernel masking).
+    tq/tk may differ: queries pad to a sublane multiple (8), keys to a lane
+    multiple (128) — the VPU softmax cost is proportional to tq*tk, so not
+    rounding the query axis up to 128 cuts it 22% at T=200."""
+    ii = np.arange(tq)[:, None]
+    jj = np.arange(tk)[None, :]
     rel = jj - ii
     ok = (np.abs(rel) <= window) & (jj < t)
     mask = np.where(ok, 0.0, NEG_INF).astype(np.float32)
     if bias_vec is None:
-        return jnp.broadcast_to(jnp.asarray(mask)[None], (heads, tp, tp))
+        return jnp.broadcast_to(jnp.asarray(mask)[None], (heads, tq, tk))
     idx = jnp.asarray(np.clip(rel + window, 0, 2 * window))
     return bias_vec[:, idx] + jnp.asarray(mask)[None]
 
@@ -267,14 +270,17 @@ def _local_attn_packed_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *,
                               hb: int, dh: int):
     """Whole-sequence fused attention for a 128-lane group of heads.
 
-    Blocks are (G, tp, hb*dh=128) lane-slices of the NATURAL
+    Blocks are (G, t*, hb*dh=128) lane-slices of the NATURAL
     (batch, time, h*dh) layout of the qkv projection — Mosaic requires lane
     blocks divisible by 128, so hb=128/dh heads share a grid step (the rest
     of the head axis is a grid dimension; the full 8-head unrolled body
     compiled ~80 s per shape). Every mask is baked into the resident
-    (hb, tp, tp) bias so the softmax pipeline is add-max-sub-exp-sum-div
-    with no iota/select work.
-    """
+    (hb, tq, tk) bias so the softmax pipeline is add-max-sub-exp-sum with no
+    iota/select work; the normalizing division happens on the (tq, dh)
+    output instead of the (tq, tk) probabilities — the VPU elementwise
+    chain over the score tile IS the bottleneck at production shapes (a 4x
+    MXU-FLOP variant measured the same 18.4 ms/op), so every per-entry op
+    trimmed is ~12% off the kernel."""
     q = q_ref[:]
     k = k_ref[:]
     v = v_ref[:]
@@ -286,10 +292,11 @@ def _local_attn_packed_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *,
         s = s + bias_ref[i][None]
         s = s - s.max(axis=-1, keepdims=True)
         p = jnp.exp(s)
-        p = p / p.sum(axis=-1, keepdims=True)
-        o_ref[:, :, sl] = jax.lax.dot_general(
+        den = p.sum(axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
             p.astype(v.dtype), v[:, :, sl], (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+            preferred_element_type=jnp.float32)
+        o_ref[:, :, sl] = (o / den).astype(o_ref.dtype)
 
 
 PACKED_MAX_T = 256
@@ -302,15 +309,18 @@ def local_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
     """Pallas sliding-window attention on the PACKED (N, T, heads*dh) layout.
 
     For T <= PACKED_MAX_T the whole padded sequence is one block: no
-    neighbor tiles, no stripe concat, (tp x dh)@(dh x tp) matmuls with
-    tp=128/256 rows (vs 64 in the tiled kernel), and heads stay in the lane
-    dimension end-to-end, which deletes the (b,s,t,h,d) split-head
-    transposes from the module hot path. Grid is (heads, N/G) — heads outer
-    so each head's (tp, tp) bias tile is fetched once per sweep; q/k/v/o
-    blocks are (G, tp, dh) lane-slices, so total HBM traffic is one pass
-    over each tensor. Measured motivation: the full TemporalAttention
-    instance at 256^2 top level (rows=4096, T=200, c=64) costs 87 ms with
-    the banded path; see scripts/probe_unet_phases.py.
+    neighbor tiles, no stripe concat, (tq x dh)@(dh x tk) matmuls, and
+    heads stay in the lane dimension end-to-end, which deletes the
+    (b,s,t,h,d) split-head transposes from the module hot path. Grid is
+    (head-groups, N/G) — heads outer so each group's (hb, tq, tk) bias
+    tile is fetched once per sweep; q/k/v/o blocks are 128-lane slices, so
+    total HBM traffic is one pass over each tensor. The kernel is
+    VPU-softmax-bound (see ``local_attention`` docstring), so queries pad
+    only to sublanes (tq = 200 at T=200, not 256) and normalization is
+    applied to the output — together 18.8 -> 15.9 ms/op at the 32k-row
+    256^2 top-level shape (vs windowed-full XLA 16.7, banded 31.1) and
+    6.7 -> 5.8 at the 8k-row 128^2 top level (scripts/bench_attention.py,
+    v5e bf16).
 
     q, k, v: (N, T, heads*dh), q pre-scaled and pre-rotated.
 
@@ -327,7 +337,10 @@ def local_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
     n, t, hd = q.shape
     dh = hd // heads
     assert t <= PACKED_MAX_T, (t, PACKED_MAX_T)
-    tp = 128 * -(-t // 128)
+    # queries pad to sublanes (8), keys/values to lanes (128): the softmax
+    # VPU chain scales with tq*tk, so tq=200 (vs 256) at T=200 is a free 22%
+    tq = 8 * -(-t // 8)
+    tk = 128 * -(-t // 128)
     g = g_rows
     while n % g != 0:
         g //= 2
@@ -336,25 +349,26 @@ def local_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
     hb = 128 // dh if dh <= 128 and (heads * dh) % 128 == 0 \
         and heads % max(1, 128 // dh) == 0 else heads
 
-    def prep(x):
-        return jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
+    def prep(x, tpad):
+        return jnp.pad(x, ((0, 0), (0, tpad - t), (0, 0)))
 
-    qp, kp, vp = prep(q), prep(k), prep(v)
-    bias = _full_bias(heads, t, tp, window, bias_vec)     # (h, tp, tp)
+    qp, kp, vp = prep(q, tq), prep(k, tk), prep(v, tk)
+    bias = _full_bias(heads, t, tq, tk, window, bias_vec)  # (h, tq, tk)
 
-    spec = pl.BlockSpec((g, tp, hb * dh), lambda hh, s: (s, 0, hh))
+    qspec = pl.BlockSpec((g, tq, hb * dh), lambda hh, s: (s, 0, hh))
+    kvspec = pl.BlockSpec((g, tk, hb * dh), lambda hh, s: (s, 0, hh))
     kernel = functools.partial(_local_attn_packed_kernel, hb=hb, dh=dh)
     out = pl.pallas_call(
         kernel,
         grid=(heads // hb, n // g),
-        in_specs=[pl.BlockSpec((hb, tp, tp), lambda hh, s: (hh, 0, 0)),
-                  spec, spec, spec],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((n, tp, hd), q.dtype),
+        in_specs=[pl.BlockSpec((hb, tq, tk), lambda hh, s: (hh, 0, 0)),
+                  qspec, kvspec, kvspec],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((n, tq, hd), q.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(min(
                 100 << 20,
-                4 * g * tp * tp * 4 + hb * tp * tp * 4 + (8 << 20)))),
+                4 * g * tq * tk * 4 + hb * tq * tk * 4 + (8 << 20)))),
         interpret=interpret,
     )(bias, qp, kp, vp)
     return out[:, :t]
@@ -420,34 +434,36 @@ def _packed_bwd_pallas(q, k, v, g, bias_vec, window, heads,
 
     n, t, hd = q.shape
     dh = hd // heads
-    tp = 128 * -(-t // 128)
+    tq = 8 * -(-t // 8)
+    tk = 128 * -(-t // 128)
     gg = 8
     while n % gg != 0:
         gg //= 2
 
-    def prep(x):
-        return jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
+    def prep(x, tpad):
+        return jnp.pad(x, ((0, 0), (0, tpad - t), (0, 0)))
 
-    bias = _full_bias(heads, t, tp, window, bias_vec)
-    spec = pl.BlockSpec((gg, tp, hd), lambda s: (s, 0, 0))
+    bias = _full_bias(heads, t, tq, tk, window, bias_vec)
+    qspec = pl.BlockSpec((gg, tq, hd), lambda s: (s, 0, 0))
+    kvspec = pl.BlockSpec((gg, tk, hd), lambda s: (s, 0, 0))
     kernel = functools.partial(_local_attn_packed_bwd_kernel, h=heads, dh=dh)
     dq, dk, dv, ds = pl.pallas_call(
         kernel,
         grid=(n // gg,),
-        in_specs=[pl.BlockSpec((heads, tp, tp), lambda s: (0, 0, 0)),
-                  spec, spec, spec, spec],
-        out_specs=(spec, spec, spec,
-                   pl.BlockSpec((heads, tp, tp), lambda s: (0, 0, 0))),
-        out_shape=(jax.ShapeDtypeStruct((n, tp, hd), q.dtype),
-                   jax.ShapeDtypeStruct((n, tp, hd), q.dtype),
-                   jax.ShapeDtypeStruct((n, tp, hd), q.dtype),
-                   jax.ShapeDtypeStruct((heads, tp, tp), jnp.float32)),
+        in_specs=[pl.BlockSpec((heads, tq, tk), lambda s: (0, 0, 0)),
+                  qspec, kvspec, kvspec, qspec],
+        out_specs=(qspec, kvspec, kvspec,
+                   pl.BlockSpec((heads, tq, tk), lambda s: (0, 0, 0))),
+        out_shape=(jax.ShapeDtypeStruct((n, tq, hd), q.dtype),
+                   jax.ShapeDtypeStruct((n, tk, hd), q.dtype),
+                   jax.ShapeDtypeStruct((n, tk, hd), q.dtype),
+                   jax.ShapeDtypeStruct((heads, tq, tk), jnp.float32)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(min(
                 100 << 20,
-                8 * gg * tp * tp * 4 + 2 * heads * tp * tp * 4 + (8 << 20)))),
+                8 * gg * tq * tk * 4 + 2 * heads * tq * tk * 4 + (8 << 20)))),
         interpret=interpret,
-    )(bias, prep(q), prep(k), prep(v), prep(g))
+    )(bias, prep(q, tq), prep(k, tk), prep(v, tk), prep(g, tq))
 
     dq, dk, dv = dq[:, :t], dk[:, :t], dv[:, :t]
     if bias_vec is None:
@@ -455,8 +471,8 @@ def _packed_bwd_pallas(q, k, v, g, bias_vec, window, heads,
     # reduce the accumulated dS tile to the (h, 2w+1) bias-vector gradient:
     # entry (i, j) contributes to rel = j - i; out-of-window entries have
     # p = 0 => ds = 0, so the clipped-index double-count is harmless.
-    ii = np.arange(tp)[:, None]
-    jj = np.arange(tp)[None, :]
+    ii = np.arange(tq)[:, None]
+    jj = np.arange(tk)[None, :]
     rel = jj - ii
     onehot = jnp.asarray(
         (rel[None] == np.arange(-window, window + 1)[:, None, None])
@@ -492,6 +508,160 @@ local_attention_packed_tpu.defvjp(_local_attention_packed_fwd,
                                   _local_attention_packed_bwd)
 
 
+def _local_attn_tile_bwd_kernel(bias_ref, q_ref, kl_ref, kc_ref, kr_ref,
+                                vl_ref, vc_ref, vr_ref, g_ref,
+                                dq_ref, dkl_ref, dkc_ref, dkr_ref,
+                                dvl_ref, dvc_ref, dvr_ref, ds_ref, *,
+                                t: int, bq: int, nb: int, h: int):
+    """Fused backward for the 3-tile kernel: recompute the (G, bq, 3bq)
+    softmax stripe in VMEM (the forward saves nothing), then
+    dv = p^T g, ds = p*(g v^T - rowsum), dq = ds k, dk = ds^T q. Key-side
+    grads are written as per-TILE contributions (query block b contributes
+    to key blocks b-1/b/b+1); the caller combines them with shifted adds —
+    no cross-step accumulation races. ds is grid-summed per head (constant
+    index map keeps the block VMEM-resident) for the T5 bias-vector grad."""
+    import jax.experimental.pallas as pl
+
+    b = pl.program_id(1)
+    first = (pl.program_id(0) == 0) & (b == 0)
+    q = q_ref[:, 0]                                # (G, bq, d)
+    gr = g_ref[:, 0]
+    kt = jnp.concatenate([kl_ref[:, 0], kc_ref[:, 0], kr_ref[:, 0]], axis=1)
+    vt = jnp.concatenate([vl_ref[:, 0], vc_ref[:, 0], vr_ref[:, 0]], axis=1)
+
+    s = jax.lax.dot_general(q, kt, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)  # (G, bq, 3bq)
+    s = s + bias_ref[:]
+    jj = jax.lax.broadcasted_iota(jnp.int32, (bq, 3 * bq), 1)
+    jg = b * bq + jj - bq
+    valid = (jg >= 0) & (jg < t)
+    valid &= ~((jj < bq) & (b == 0))
+    valid &= ~((jj >= 2 * bq) & (b == nb - 1))
+    s = jnp.where(valid[None], s, NEG_INF)
+    s = s - s.max(axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / p.sum(axis=-1, keepdims=True)
+
+    dp = jax.lax.dot_general(gr, vt, (((2,), (2,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = p * (dp - delta)                                 # (G, bq, 3bq)
+
+    dsk = ds.astype(q.dtype)
+    pk = p.astype(gr.dtype)
+    dq_ref[:, 0] = jax.lax.dot_general(
+        dsk, kt, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    for i, (dk_ref, dv_ref) in enumerate(((dkl_ref, dvl_ref),
+                                          (dkc_ref, dvc_ref),
+                                          (dkr_ref, dvr_ref))):
+        sl = slice(i * bq, (i + 1) * bq)
+        dk_ref[:, 0] = jax.lax.dot_general(
+            dsk[:, :, sl], q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+        dv_ref[:, 0] = jax.lax.dot_general(
+            pk[:, :, sl], gr, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+
+    # per-head grid sum of ds: rows are (n, h) row-major, so row r has head
+    # r % h — fold the m sequences of the group and sum them out
+    acc = ds.reshape(-1, h, bq, 3 * bq).sum(axis=0)       # (h, bq, 3bq)
+
+    @pl.when(first)
+    def _():
+        ds_ref[:] = acc
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        ds_ref[:] = ds_ref[:] + acc
+
+
+def _tiled_bwd_pallas(q, k, v, g, bias_vec, window, block_q: int = 64,
+                      interpret: bool = False):
+    """Backward companion of ``local_attention_pallas`` on the (N, H, T, D)
+    layout. Returns (dq, dk, dv, dbias_vec|None)."""
+    import jax.experimental.pallas as pl
+    import jax.experimental.pallas.tpu as pltpu
+
+    n, h, t, d = q.shape
+    bq = max(min(block_q, pl.next_power_of_2(t)),
+             pl.next_power_of_2(max(window, 1)))
+    nb = -(-t // bq)
+    t_pad = nb * bq
+    gg = _rows_per_step(n, h, bq, budget=3 << 18)   # 3 stripes live (p/dp/ds)
+
+    def prep(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - t), (0, 0))).reshape(
+            n * h, nb, bq, d)
+
+    qp, kp, vp, gp = prep(q), prep(k), prep(v), prep(g)
+    bias = _tile_bias(h, bq, window, bias_vec)
+    bias_g = jnp.tile(bias, (gg // h, 1, 1))
+
+    def qmap(s, b):
+        return (s, b, 0, 0)
+
+    def lmap(s, b):
+        return (s, jnp.maximum(b - 1, 0), 0, 0)
+
+    def rmap(s, b):
+        return (s, jnp.minimum(b + 1, nb - 1), 0, 0)
+
+    kv_spec = lambda im: pl.BlockSpec((gg, 1, bq, d), im)
+    xs = jax.ShapeDtypeStruct((n * h, nb, bq, d), q.dtype)
+    kernel = functools.partial(_local_attn_tile_bwd_kernel,
+                               t=t, bq=bq, nb=nb, h=h)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n * h // gg, nb),
+        in_specs=[
+            pl.BlockSpec((gg, bq, 3 * bq), lambda s, b: (0, 0, 0)),
+            kv_spec(qmap),
+            kv_spec(lmap), kv_spec(qmap), kv_spec(rmap),
+            kv_spec(lmap), kv_spec(qmap), kv_spec(rmap),
+            kv_spec(qmap),
+        ],
+        out_specs=(kv_spec(qmap),) * 7 + (
+            pl.BlockSpec((h, bq, 3 * bq), lambda s, b: (0, 0, 0)),),
+        out_shape=(xs,) * 7 + (
+            jax.ShapeDtypeStruct((h, bq, 3 * bq), jnp.float32),),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(min(
+                100 << 20,
+                10 * gg * bq * 3 * bq * 4 + (8 << 20)))),
+        interpret=interpret,
+    )(bias_g, qp, kp, kp, kp, vp, vp, vp, gp)
+    dq, dkl, dkc, dkr, dvl, dvc, dvr, ds = outs
+
+    def combine(c, l, r):
+        # key block b receives: center from q-block b, 'left' written by
+        # q-block b+1, 'right' written by q-block b-1 (edge tiles are exact
+        # zeros via the validity mask — clamped neighbors contribute nothing)
+        out = c
+        out = out.at[:, :-1].add(l[:, 1:]) if nb > 1 else out
+        out = out.at[:, 1:].add(r[:, :-1]) if nb > 1 else out
+        return out
+
+    def unprep(x):
+        return x.reshape(n, h, t_pad, d)[:, :, :t]
+
+    dq = unprep(dq)
+    dk = unprep(combine(dkc, dkl, dkr))
+    dv = unprep(combine(dvc, dvl, dvr))
+    if bias_vec is None:
+        return dq, dk, dv, None
+    # (h, bq, 3bq) -> (h, 2w+1): entry (i, j) has rel = (j - bq) - i;
+    # out-of-window entries have p = 0 => ds = 0 (clip is harmless)
+    ii = np.arange(bq)[:, None]
+    jj = np.arange(3 * bq)[None, :] - bq
+    rel = jj - ii
+    onehot = jnp.asarray(
+        (rel[None] == np.arange(-window, window + 1)[:, None, None])
+        .astype(np.float32))                                # (2w+1, bq, 3bq)
+    dvec = jnp.einsum("hij,rij->hr", ds, onehot)
+    return dq, dk, dv, dvec
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _local_attention_tpu(q, k, v, bias_vec, window):
     return local_attention_pallas(q, k, v, bias_vec, window)
@@ -503,6 +673,8 @@ def _local_attention_tpu_fwd(q, k, v, bias_vec, window):
 
 def _local_attention_tpu_bwd(window, res, g):
     q, k, v, bias_vec = res
+    if jax.default_backend() == "tpu":
+        return _tiled_bwd_pallas(q, k, v, g, bias_vec, window)
     _, vjp = jax.vjp(lambda q, k, v, b: local_attention_banded(q, k, v, b,
                                                                window),
                      q, k, v, bias_vec)
@@ -518,21 +690,32 @@ def local_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     """Default dispatch: shape-aware on TPU, banded XLA elsewhere.
 
     Measured on v5e at DAWN's temporal-attention shapes (scan-amortized,
-    bf16, w=40, d=32, scripts/bench_attention.py):
+    bf16, w=40, d=32, scripts/bench_attention.py; packed = the T<=256
+    whole-sequence kernel used by TemporalAttention, listed for context):
 
-      n*h=8k,  T=200: pallas 16.8 ms/op vs banded 21.0 (1.25x)   <- 128^2 top
-      n*h=8k,  T=400: pallas 28.9 ms/op vs banded 40.0 (1.38x)
-      n*h=32k, T=200: pallas 48.7 ms/op vs banded 31.1 (0.64x)   <- 256^2 top
+      n*h=8k,  T=200: tiled 14.5  banded 21.0  full  8.8  packed  5.8  <- 128^2 top
+      n*h=8k,  T=400: tiled 28.9  banded 40.0  (T > packed limit)
+      n*h=32k, T=200: tiled 48.7  banded 31.1  full 16.7  packed 15.9  <- 256^2 top
 
-    The round-1 kernel lost everywhere (24 vs 17 ms/op) because its
-    (n*h, nb) grid ran one tiny (bq, d=32) matmul per step; batching G=32
-    rows per step flipped the 8k-row shapes. At 32k rows XLA's batched
-    einsum pipelines MXU/VPU across the batch better than the per-step
-    kernel, UNLESS the banded score stripe stops fitting HBM — it grows as
-    rows * T * (block+2w) * 4 bytes (14 GB at 32k rows, T=400), where the
-    VMEM-resident kernel is the only option. ``use_pallas=False`` forces the
-    banded path (any backend); the Pallas custom-VJP currently recomputes
-    the backward through the banded path.
+    Why the numbers cluster (roofline): every variant computes the same
+    rows*Tq*Tk softmax-entry count, and a 4x-MXU-FLOP masked-lane packed
+    variant measured the SAME 18.4 ms/op as the 32-lane-contraction one —
+    the matmuls are not the limit; the VPU elementwise chain over score
+    entries is. So the wins come from (a) fewer entries (packed pads
+    queries to 200 instead of 256: -22%), (b) fewer per-entry ops
+    (normalize on the output, not the probabilities), (c) no HBM
+    materialization of scores. The remaining gap to a band-only entry
+    count (81/256 of packed's) is locked behind banded layouts whose
+    gather/relayout overheads measure worse (tiled, banded rows above).
+
+    This function dispatches the NON-packed (N, H, T, D) layout only. The
+    tiled-pallas sweet spot is mid-size rows; at 32k rows XLA's batched
+    einsum pipelines better, UNLESS the banded score stripe stops fitting
+    HBM — it grows as rows * T * (block+2w) * 4 bytes (14 GB at 32k rows,
+    T=400), where the VMEM-resident kernel is the only option.
+    ``use_pallas=False`` forces the banded path (any backend). The Pallas
+    custom-VJP uses the fused 3-tile backward kernel on TPU
+    (``_tiled_bwd_pallas``) and the banded VJP elsewhere.
     """
     if use_pallas is None:
         rows = q.shape[0] * q.shape[1]

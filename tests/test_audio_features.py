@@ -101,3 +101,88 @@ def test_f0_to_coarse_range():
 def test_extract_mel_f0_lengths_match():
     mel, f0, f0c = extract_mel_f0(_tone(330.0, 0.7))
     assert len(mel) == len(f0) == len(f0c)
+
+
+# --------------------------------------------------------------- speech-like
+# No real speech exists in this image (zero egress), so the closest
+# verifiable fixture is Klatt-style synthesis: a glottal pulse train with a
+# KNOWN pitch contour (declination + vibrato + 1% jitter), shaped by vowel
+# formant resonators, amplitude-modulated, with unvoiced fricative and
+# silence segments. Unlike the pure-tone tests above this exercises what
+# makes real speech hard for an autocorrelation tracker: strong formant
+# coloring (F1 energy >> harmonic 1), period-to-period jitter, and
+# voiced/unvoiced transitions. Tolerances documented in DEVIATIONS #6.
+
+
+def _biquad_resonator(x, freq, bw, sr=SR):
+    """Second-order resonator (Klatt formant filter), numpy recursion."""
+    r = np.exp(-np.pi * bw / sr)
+    theta = 2 * np.pi * freq / sr
+    a1, a2 = -2 * r * np.cos(theta), r * r
+    b0 = 1 - r  # unity-ish gain at resonance
+    y = np.zeros_like(x)
+    y1 = y2 = 0.0
+    for n in range(len(x)):
+        y0 = b0 * x[n] - a1 * y1 - a2 * y2
+        y[n] = y0
+        y2, y1 = y1, y0
+    return y
+
+
+def synth_speech_like(seconds=2.0, sr=SR, seed=0):
+    """Returns (wav, f0_true_per_sample, voiced_mask_per_sample)."""
+    rng = np.random.RandomState(seed)
+    n = int(seconds * sr)
+    t = np.arange(n) / sr
+    # pitch contour: 170 -> 110 Hz declination + 5 Hz vibrato
+    f0 = 170.0 - 30.0 * t / seconds + 4.0 * np.sin(2 * np.pi * 5.0 * t)
+    # segments: [voiced vowel /a/][silence][voiced /i/][fricative noise]
+    segs = [(0.00, 0.80, "v", (700, 1200)), (0.80, 0.95, "s", None),
+            (0.95, 1.70, "v", (300, 2300)), (1.70, 2.00, "n", None)]
+    wav = np.zeros(n)
+    voiced = np.zeros(n, dtype=bool)
+    for a, b, kind, formants in segs:
+        i0, i1 = int(a * sr), int(b * sr)
+        if kind == "s":
+            continue
+        if kind == "n":
+            wav[i0:i1] = 0.1 * rng.randn(i1 - i0)
+            continue
+        # glottal pulse train with 1% period jitter
+        pulses = np.zeros(i1 - i0)
+        pos = 0.0
+        while pos < (i1 - i0):
+            pulses[int(pos)] = 1.0
+            period = sr / f0[i0 + int(pos)]
+            pos += period * (1 + 0.01 * rng.randn())
+        x = pulses
+        for fm, bwx in zip(formants, (90, 150)):
+            x = _biquad_resonator(x, fm, bwx)
+        env = np.hanning(2 * (i1 - i0))[: i1 - i0] ** 0.3  # soft on/offset
+        wav[i0:i1] = x * env
+        voiced[i0:i1] = True
+    wav = (0.5 * wav / np.max(np.abs(wav))).astype(np.float32)
+    return wav, f0, voiced
+
+
+def test_f0_speech_like_fixture():
+    wav, f0_true, voiced = synth_speech_like()
+    hop = 320
+    f0 = extract_f0(wav)
+    centers = np.minimum(np.arange(len(f0)) * hop, len(wav) - 1)
+    tv, tf = voiced[centers], f0_true[centers]
+    # only judge frames fully inside a segment (transition frames are
+    # legitimately ambiguous): erode the voiced mask by one frame
+    inner = tv & np.roll(tv, 1) & np.roll(tv, -1)
+    est = f0[inner]
+    true = tf[inner]
+    det = est > 0
+    assert det.mean() > 0.9, f"voiced recall {det.mean():.2f}"
+    rel = np.abs(est[det] - true[det]) / true[det]
+    # documented tolerance (DEVIATIONS #6): median within 5%, <5% gross
+    # (octave-class) errors on a jittered, formant-colored pulse train
+    assert np.median(rel) < 0.05, f"median rel err {np.median(rel):.3f}"
+    assert (rel > 0.2).mean() < 0.05, f"gross errors {(rel > 0.2).mean():.2f}"
+    # unvoiced: silence + fricative frames must not report pitch
+    outer = ~tv & ~np.roll(tv, 1) & ~np.roll(tv, -1)
+    assert (f0[outer] == 0).mean() > 0.8, (f0[outer] > 0).mean()

@@ -76,6 +76,55 @@ class TestPallasKernel:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+class TestTiledBackward:
+    """Fused 3-tile backward (the T > PACKED_MAX_T training path) vs the
+    banded-XLA VJP it replaces (VERDICT r2 weak #7)."""
+
+    def test_matches_banded_vjp(self):
+        from dawn_tpu.ops.local_attention import _tiled_bwd_pallas
+        n, h, t, d, w = 2, 4, 150, 32, 20
+        q, k, v, emb = _make_inputs(n, h, t, d)
+        vec = t5_bias_windowed_vector(emb, w, 32, 32)
+        g = jnp.asarray(RNG.randn(n, h, t, d).astype(np.float32))
+        _, vjp = jax.vjp(lambda q, k, v, b: local_attention_banded(
+            q, k, v, b, w), q, k, v, vec)
+        ref = vjp(g)
+        got = _tiled_bwd_pallas(q, k, v, g, vec, w, interpret=True)
+        for name, r, o in zip(("dq", "dk", "dv", "dbias"), ref, got):
+            np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                       atol=2e-4, err_msg=name)
+
+    def test_no_bias_odd_t(self):
+        from dawn_tpu.ops.local_attention import _tiled_bwd_pallas
+        n, h, t, d, w = 1, 2, 77, 16, 10
+        q, k, v, _ = _make_inputs(n, h, t, d)
+        g = jnp.asarray(RNG.randn(n, h, t, d).astype(np.float32))
+        _, vjp = jax.vjp(lambda q, k, v: local_attention_banded(
+            q, k, v, None, w), q, k, v)
+        ref = vjp(g)
+        got = _tiled_bwd_pallas(q, k, v, g, None, w, block_q=32,
+                                interpret=True)
+        assert got[3] is None
+        for name, r, o in zip(("dq", "dk", "dv"), ref, got[:3]):
+            np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                       atol=2e-4, err_msg=name)
+
+    def test_single_block(self):
+        # t <= bq: one block, no neighbor tiles contribute
+        from dawn_tpu.ops.local_attention import _tiled_bwd_pallas
+        n, h, t, d, w = 1, 4, 40, 32, 12
+        q, k, v, emb = _make_inputs(n, h, t, d)
+        vec = t5_bias_windowed_vector(emb, w, 32, 32)
+        g = jnp.asarray(RNG.randn(n, h, t, d).astype(np.float32))
+        _, vjp = jax.vjp(lambda q, k, v, b: local_attention_banded(
+            q, k, v, b, w), q, k, v, vec)
+        ref = vjp(g)
+        got = _tiled_bwd_pallas(q, k, v, g, vec, w, interpret=True)
+        for name, r, o in zip(("dq", "dk", "dv", "dbias"), ref, got):
+            np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                       atol=2e-4, err_msg=name)
+
+
 class TestPackedKernel:
     def _pack(self, x):
         # (n, h, t, d) -> (n, t, h*d)
