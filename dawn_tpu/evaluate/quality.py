@@ -8,9 +8,12 @@ but no video feature extractor and no lip metric.
 Feature extractor: the frozen LFG encoder (``compute_fea``, the same
 256-channel bottleneck the diffusion model is conditioned on). With the
 released LFG checkpoint loaded it is a strong talking-head feature space —
-documented as the interim FVD proxy (an I3D backbone would need pretrained
-weights this image cannot fetch; the Frechet math is extractor-agnostic, so a
-converted I3D can be plugged into the same functions later).
+documented as the interim FVD proxy. The STANDARD FVD backbone now ships
+too: ``dawn_tpu.evaluate.i3d`` (flax Kinetics-400 I3D) +
+``dawn_tpu.weights.i3d_convert`` (torch-free converter for the public
+pytorch-i3d weights, parity-tested in tests/test_i3d.py); pass
+``--i3d-ckpt`` to scripts/eval_quality.py once the weights are fetched —
+this image itself cannot fetch them (zero egress).
 
 Lip-sync proxy: mouth-region L1 + SSIM between generated and ground-truth
 frames, masked by the rasterized mouth-landmark bbox (the same rasterizer the

@@ -274,6 +274,17 @@ class TemporalAttention(nn.Module):
     mode: str = "full"
     window: int = 20
     dtype: Any = jnp.float32
+    # canonical row-chunk for the packed kernel: when > 0, every level with
+    # more sequences runs the kernel as lax.map over chunks of this many
+    # rows, so ALL levels share ONE Mosaic kernel shape. Measured (v5e via
+    # axon, 2026-08-17): steady-state cost +9.2% on the attention op at
+    # n=1024 / +6.7% at n=4096 (probe_packed_compile.py --steady), −7%
+    # end-to-end at 128², and the hoped-for compile win did NOT materialize
+    # (full 128² bench compiled in 1036 s chunked vs 242 s unchunked;
+    # compile times through the tunnel are noisy but never favored
+    # chunking). Default 0 = disabled; the persistent compilation cache
+    # (see pipeline/generator.py) is the cold-start fix instead.
+    packed_chunk: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array, pos_bias: Optional[jax.Array] = None,
@@ -300,10 +311,19 @@ class TemporalAttention(nn.Module):
             kh = k.reshape(b, s, t, self.heads, self.dim_head)
             qh = apply_rotary(qh, cos[:, None], sin[:, None])
             kh = apply_rotary(kh, cos[:, None], sin[:, None])
-            out = local_attention_packed_tpu(
-                qh.reshape(b * s, t, hidden), kh.reshape(b * s, t, hidden),
-                v.reshape(b * s, t, hidden), bias_vec, self.window,
-                self.heads)
+            qp = qh.reshape(b * s, t, hidden)
+            kp = kh.reshape(b * s, t, hidden)
+            vp = v.reshape(b * s, t, hidden)
+            rows, ck = b * s, self.packed_chunk
+            if ck and rows > ck and rows % ck == 0:
+                out = jax.lax.map(
+                    lambda a: local_attention_packed_tpu(
+                        *a, bias_vec, self.window, self.heads),
+                    tuple(z.reshape(rows // ck, ck, t, hidden)
+                          for z in (qp, kp, vp))).reshape(rows, t, hidden)
+            else:
+                out = local_attention_packed_tpu(
+                    qp, kp, vp, bias_vec, self.window, self.heads)
             return nn.Dense(c, use_bias=False, dtype=self.dtype,
                             name="to_out")(out.reshape(b, s, t, hidden)
                                            .astype(self.dtype))

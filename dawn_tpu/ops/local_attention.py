@@ -300,6 +300,10 @@ def _local_attn_packed_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *,
 
 
 PACKED_MAX_T = 256
+# query-axis padding multiple for the packed kernel: 8 (sublane-trimmed,
+# fewer softmax entries) vs 128 (lane-aligned square tiles). Module-level so
+# compile-time probes can A/B it; see local_attention_packed docstring.
+PACKED_TQ_MULTIPLE = 8
 
 
 def local_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -339,7 +343,7 @@ def local_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
     assert t <= PACKED_MAX_T, (t, PACKED_MAX_T)
     # queries pad to sublanes (8), keys/values to lanes (128): the softmax
     # VPU chain scales with tq*tk, so tq=200 (vs 256) at T=200 is a free 22%
-    tq = 8 * -(-t // 8)
+    tq = PACKED_TQ_MULTIPLE * -(-t // PACKED_TQ_MULTIPLE)
     tk = 128 * -(-t // 128)
     g = g_rows
     while n % g != 0:
@@ -434,7 +438,7 @@ def _packed_bwd_pallas(q, k, v, g, bias_vec, window, heads,
 
     n, t, hd = q.shape
     dh = hd // heads
-    tq = 8 * -(-t // 8)
+    tq = PACKED_TQ_MULTIPLE * -(-t // PACKED_TQ_MULTIPLE)
     tk = 128 * -(-t // 128)
     gg = 8
     while n % gg != 0:

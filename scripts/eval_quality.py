@@ -6,12 +6,16 @@ the held-out split, JSON metrics out — the reference's golden-output pattern
 
 Usage:
   python scripts/eval_quality.py --real-dir DIR --fake-dir DIR \
-      [--lfg-ckpt LFG_128.pth] [--mouth-lmk-dir DIR] [--out quality.json]
+      [--lfg-ckpt LFG_128.pth] [--i3d-ckpt rgb_imagenet.pt] \
+      [--mouth-lmk-dir DIR] [--out quality.json]
 
 real/fake dirs hold matching-named .npy videos (T, H, W, 3) uint8 or float
 [0,1]; mouth-lmk dir (optional) matching .npy (T, K, 2) pixel landmarks.
 Without --lfg-ckpt the LFG feature extractor is random-init (pipeline smoke
-only — Frechet numbers are then NOT comparable across runs).
+only — Frechet numbers are then NOT comparable across runs). With
+--i3d-ckpt (the public pytorch-i3d Kinetics-400 weights; torch-free
+reader) the report additionally carries the REAL standard FVD
+(evaluate/i3d.py, parity-tested converter).
 """
 
 import argparse
@@ -39,6 +43,9 @@ def main():
     ap.add_argument("--real-dir", required=True)
     ap.add_argument("--fake-dir", required=True)
     ap.add_argument("--lfg-ckpt", default=None)
+    ap.add_argument("--i3d-ckpt", default=None,
+                    help="pytorch-i3d Kinetics-400 state dict (.pt) for the "
+                         "standard FVD backbone")
     ap.add_argument("--mouth-lmk-dir", default=None)
     ap.add_argument("--out", default="quality.json")
     ap.add_argument("--platform", default=None,
@@ -83,6 +90,10 @@ def main():
             for n in common])
 
     report = evaluate_quality(generator, variables, R, F, mouth)
+    if args.i3d_ckpt:
+        from dawn_tpu.evaluate.i3d import fvd_i3d
+        from dawn_tpu.weights.i3d_convert import convert_i3d
+        report["fvd_i3d"] = float(fvd_i3d(convert_i3d(args.i3d_ckpt), R, F))
     # per-video L1 like the reference's JSON fixture
     report["per_video_l1"] = {
         n: float(np.abs(F[i] - R[i]).mean()) for i, n in enumerate(common)}

@@ -38,12 +38,24 @@ def main():
                     help="run ONE case (use separate processes so an "
                          "in-process Mosaic kernel cache can't contaminate "
                          "the comparison; 'all' runs everything in-process)")
+    ap.add_argument("--tq128", action="store_true",
+                    help="pad the packed kernel's query axis to 128 (square "
+                         "lane-aligned tiles) instead of 8 — A/B for Mosaic "
+                         "compile time vs the sublane-trimmed default")
+    ap.add_argument("--steady", action="store_true",
+                    help="scan-amortized steady-state comparison of "
+                         "chunked vs unchunked packed attention at --big "
+                         "(per-op cost of the canonical-shape rewrite; "
+                         "single-dispatch timings only measure tunnel RTT)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
     import numpy as np
+    from dawn_tpu.ops import local_attention as la
     from dawn_tpu.ops.local_attention import local_attention_packed
+    if args.tq128:
+        la.PACKED_TQ_MULTIPLE = 128
     from dawn_tpu.ops.t5bias import t5_bias_windowed_vector
 
     t, h, d, w = args.t, args.h, args.d, args.window
@@ -80,6 +92,34 @@ def main():
         print(f"{label:34s} compile+first {compile_s:7.1f}s   "
               f"steady {best*1e3:8.2f} ms")
         return compile_s, best
+
+    if args.steady:
+        import functools
+        def scanned(op):
+            def fn(x):
+                def body(c, _):
+                    return op(c).astype(c.dtype), None
+                out, _ = jax.lax.scan(body, x, None, length=10)
+                return out
+            return jax.jit(fn)
+
+        def tmeas(fn, x):
+            out = fn(x)
+            np.asarray(out[0, 0, 0])
+            best = float("inf")
+            for _ in range(5):
+                t0 = time.time()
+                out = fn(x)
+                np.asarray(out[0, 0, 0])
+                best = min(best, time.time() - t0)
+            return best / 10
+
+        tu = tmeas(scanned(attn), xb)
+        tc = tmeas(scanned(attn_chunked), xb)
+        print(f"n={args.big} t={t} unchunked {tu*1e3:8.2f} ms/op   "
+              f"chunked({args.chunk}) {tc*1e3:8.2f} ms/op   "
+              f"overhead {100*(tc/tu-1):+.1f}%")
+        return
 
     cases = {
         "C1": ("C1: packed(chunk) alone", lambda x: attn(x) * 1.0, (xs,)),

@@ -51,6 +51,43 @@ class TestUnet3D:
         b = local.apply(params, x, t, cond)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
+    def test_packed_branch_matches_full(self, monkeypatch):
+        """The TPU packed-kernel branch of TemporalAttention (incl. the
+        canonical row-chunking lax.map) against mode='full', with the
+        kernel run in interpret mode — covers the branch wiring (rotary
+        placement, packed reshapes, chunk split) that only executes on
+        real TPU backends."""
+        import functools
+        from dawn_tpu.models.dm import unet3d
+        from dawn_tpu.ops import local_attention as la
+        from dawn_tpu.ops.t5bias import (
+            t5_bias_matrix, t5_bias_windowed_vector, window_mask)
+
+        monkeypatch.setattr(unet3d.jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(
+            unet3d, "local_attention_packed_tpu",
+            lambda q, k, v, vec, w, h: la.local_attention_packed(
+                q, k, v, vec, w, heads=h, interpret=True))
+
+        heads, dh, t, w, s = 4, 32, 12, 4, 512
+        rs = np.random.RandomState(9)
+        x = jnp.asarray(rs.randn(1, s, t, 64), jnp.float32)
+        emb = jnp.asarray(rs.randn(32, heads), jnp.float32)
+        pos_bias = t5_bias_matrix(emb, t, 32, 32) + jnp.asarray(
+            window_mask(t, w))
+        vec = t5_bias_windowed_vector(emb, w, 32, 32)
+
+        full = unet3d.TemporalAttention(heads, dh, "full", w)
+        params = full.init(jax.random.PRNGKey(0), x, pos_bias)
+        ref = full.apply(params, x, pos_bias)
+        # chunked (512 rows -> 4 x 128) and unchunked must both match
+        for chunk in (128, 0):
+            local = unet3d.TemporalAttention(heads, dh, "local", w,
+                                             packed_chunk=chunk)
+            got = local.apply(params, x, None, vec)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=2e-4, err_msg=f"chunk={chunk}")
+
     def test_static_split_matches_full(self, unet_and_params):
         """precomputed static init_conv term + 3-channel step == full
         275-channel conv (SplitInitConv linearity — the DDIM-scan
