@@ -77,17 +77,13 @@ def main():
 
     import jax
 
-    # persistent compile cache (helps on standard PJRT backends; the axon
-    # remote-AOT tunnel bypasses it — there, cold compile is bounded by
-    # restricting Pallas kernels to the shapes where they win, see
-    # TemporalAttention's dispatch)
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                       ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # persistent compile cache — verified working on the axon tunnel
+    # (compilation is local; warm-cache compile() measured 0.02 s, see
+    # dawn_tpu/utils/compile_cache.py). compile_s below is therefore the
+    # COLD number only on a fresh checkout; delete .jax_cache to remeasure.
+    from dawn_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
     import jax.numpy as jnp
     import numpy as np

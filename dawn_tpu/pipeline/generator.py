@@ -87,6 +87,11 @@ class VideoGenerator:
         # tail), so paying ~4% padded frames to stop recompiling per video
         # length is the right production default (VERDICT r2 weak #1).
         self.bucket_frames = bucket_frames
+        # persistent XLA/Mosaic compile cache: first-ever run on a machine
+        # pays the minutes-long compile, every restart after that skips it
+        # (utils/compile_cache.py has the on-chip measurements)
+        from dawn_tpu.utils.compile_cache import enable_compile_cache
+        enable_compile_cache()
         os.makedirs(cache_path, exist_ok=True)
         os.makedirs(output_path, exist_ok=True)
         self._hubert = None
