@@ -31,7 +31,8 @@ import numpy as np
 import flax.linen as nn
 
 from dawn_tpu.ops.norms import channel_layer_norm
-from dawn_tpu.ops.rotary import rotary_cos_sin, apply_rotary
+from dawn_tpu.ops.rotary import (apply_rotary, apply_rotary_flat,
+                                 flat_rotary_constants, rotary_cos_sin)
 from dawn_tpu.ops.t5bias import t5_bias_matrix, window_mask, t5_bias_windowed_vector
 from dawn_tpu.ops.convs import conv_transpose2d_torch
 from dawn_tpu.ops.local_attention import (
@@ -295,8 +296,6 @@ class TemporalAttention(nn.Module):
                        name="to_qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        cos, sin = rotary_cos_sin(t, min(32, self.dim_head), dtype=x.dtype)
-
         # packed for >=256 rows: dropping the rows-256 level to banded costs
         # 8.7 fps at 128^2 (131.6 -> 122.9) for only ~127 s less cold
         # compile — the kernel earns its compile everywhere above tiny rows
@@ -304,15 +303,18 @@ class TemporalAttention(nn.Module):
                 and jax.default_backend() == "tpu" and t <= PACKED_MAX_T
                 and b * s >= 256):
             # packed path: heads stay in the lane dim end-to-end — no
-            # split-heads transposes (87 -> ~15 ms per 256^2 top-level
-            # instance, scripts/probe_unet_phases.py)
-            qh = (q * self.dim_head ** -0.5).reshape(
-                b, s, t, self.heads, self.dim_head)
-            kh = k.reshape(b, s, t, self.heads, self.dim_head)
-            qh = apply_rotary(qh, cos[:, None], sin[:, None])
-            kh = apply_rotary(kh, cos[:, None], sin[:, None])
-            qp = qh.reshape(b * s, t, hidden)
-            kp = kh.reshape(b * s, t, hidden)
+            # split-heads transposes, and rotary applied IN this layout
+            # (flat_rotary_constants: one MXU pair-swap matmul fused with
+            # the cos/sin multiply-adds; the 5-D reshape + strided rotary
+            # alternative measured 44.4 ms/op vs 23.2 at the 256^2
+            # top-level shape, ops/rotary.py)
+            cos_f, sin_f, rmat = flat_rotary_constants(
+                t, min(32, self.dim_head), self.heads, self.dim_head,
+                dtype=x.dtype)
+            qp = apply_rotary_flat(q * self.dim_head ** -0.5,
+                                   cos_f, sin_f, rmat).reshape(b * s, t, hidden)
+            kp = apply_rotary_flat(k, cos_f, sin_f, rmat).reshape(
+                b * s, t, hidden)
             vp = v.reshape(b * s, t, hidden)
             rows, ck = b * s, self.packed_chunk
             if ck and rows > ck and rows % ck == 0:
@@ -334,6 +336,7 @@ class TemporalAttention(nn.Module):
         q, k, v = map(split_heads, (q, k, v))    # (B, S, H, T, D)
         q = q * (self.dim_head ** -0.5)
 
+        cos, sin = rotary_cos_sin(t, min(32, self.dim_head), dtype=x.dtype)
         q = apply_rotary(q, cos, sin)
         k = apply_rotary(k, cos, sin)
 
