@@ -31,17 +31,26 @@ import time
 
 EST_REF_A100_FPS = 12.5
 V5E_PEAK_TFLOPS_BF16 = 197.0
+V5E_PEAK_HBM_GBPS = 819.0
 
 
-def compiled_flops(compiled) -> float:
-    """XLA cost-model FLOPs of a compiled program (0.0 if unavailable)."""
+def compiled_costs(compiled) -> tuple:
+    """XLA cost-model (flops, bytes accessed) of a compiled program.
+
+    ``bytes accessed`` is XLA's own estimate of memory traffic, which at the
+    HLO level approximates HBM bytes for the unfused ops (fused producers
+    are not double counted). Together with wall time it bounds the HBM
+    roofline: achieved_GB/s / 819 is the fraction of the v5e memory-bound
+    limit this program reaches.
+    """
     try:
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        return float(ca.get("flops", 0.0))
+        return (float(ca.get("flops", 0.0)),
+                float(ca.get("bytes accessed", 0.0)))
     except Exception:
-        return 0.0
+        return 0.0, 0.0
 
 
 def main():
@@ -151,13 +160,20 @@ def main():
     print(f"e2e sec per 10s video (250 frames): {250.0 * b / fps:.2f}s",
           file=sys.stderr)
 
-    flops = compiled_flops(compiled)
+    flops, bytes_acc = compiled_costs(compiled)
     tflops = flops / best / 1e12 if flops else 0.0
     mfu = 100.0 * tflops / V5E_PEAK_TFLOPS_BF16
+    gbps = bytes_acc / best / 1e9 if bytes_acc else 0.0
+    hbm_pct = 100.0 * gbps / V5E_PEAK_HBM_GBPS
     if flops:
         print(f"XLA cost-model FLOPs {flops/1e12:.2f} TFLOP/call -> "
               f"{tflops:.1f} TFLOP/s achieved = {mfu:.1f}% of v5e bf16 peak "
               f"({V5E_PEAK_TFLOPS_BF16:.0f})", file=sys.stderr)
+    if bytes_acc:
+        print(f"XLA cost-model bytes {bytes_acc/1e9:.1f} GB/call -> "
+              f"{gbps:.0f} GB/s achieved = {hbm_pct:.0f}% of v5e HBM peak "
+              f"({V5E_PEAK_HBM_GBPS:.0f} GB/s) — the memory-roofline bound",
+              file=sys.stderr)
 
     batch_note = f", batch {b}" if b > 1 else ""
     result = {
@@ -170,6 +186,8 @@ def main():
         "compile_s": round(compile_s, 1),
         "tflops": round(tflops, 2),
         "mfu_pct": round(mfu, 2),
+        "hbm_gbps": round(gbps, 1),
+        "hbm_pct": round(hbm_pct, 1),
     }
     line = json.dumps(result)
     print(line)

@@ -225,8 +225,76 @@ class ResnetBlockCaMul(nn.Module):
         return y + res.astype(y.dtype)
 
 
+def _head_group_matrix(heads: int, dim_head: int) -> np.ndarray:
+    """(heads*dim_head, heads) 0/1 indicator: column h selects head h's
+    lanes. Used to do per-head reductions as matmuls in the flat layout."""
+    g = np.zeros((heads * dim_head, heads), np.float32)
+    for h in range(heads):
+        g[h * dim_head:(h + 1) * dim_head, h] = 1.0
+    return g
+
+
+def _grouped_softmax_lanes(x: jax.Array, g: jax.Array) -> jax.Array:
+    """Softmax within each head's lane group, heads staying in lanes.
+
+    x: (..., heads*dim_head) f32; g: the _head_group_matrix. Stability:
+    softmax within a group is invariant to subtracting any constant over
+    that group, so the GLOBAL row max works for every group at once — one
+    full-lane reduction instead of 8 strided ones.
+    """
+    m = jnp.max(x, axis=-1, keepdims=True)
+    e = jnp.exp(x - m)
+    denom = e @ g                       # (..., heads) per-head sums
+    return e * ((1.0 / denom) @ g.T)
+
+
+def spatial_linear_packed(q, k, v, heads: int, dim_head: int, dtype):
+    """Linear attention with heads in the lane dim: (N, s, H*D) -> same.
+
+    Per-head softmax + context via matmuls against constant head-group /
+    block-diagonal masks. The masked (C, C) contraction pair does heads x
+    the per-head FLOPs but zero transposes; exactly equal to
+    :func:`spatial_linear_natural` up to f32 rounding (parity-tested).
+    """
+    gmat = jnp.asarray(_head_group_matrix(heads, dim_head), jnp.float32)
+    q = (_grouped_softmax_lanes(q.astype(jnp.float32), gmat)
+         * (dim_head ** -0.5)).astype(dtype)
+    k = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(dtype)
+    bd = jnp.asarray(
+        np.kron(np.eye(heads, dtype=np.float32),
+                np.ones((dim_head, dim_head), np.float32)), dtype)
+    ctx = jnp.einsum("nsd,nse->nde", k, v) * bd
+    return jnp.einsum("nsd,nde->nse", q, ctx)
+
+
+def spatial_linear_natural(q, k, v, heads: int, dim_head: int, dtype):
+    """Linear attention in the (N, s, heads, d) layout — the CPU path and
+    the parity anchor for :func:`spatial_linear_packed`."""
+    n, s, hidden = q.shape
+
+    def split_heads(z):
+        return z.reshape(n, s, heads, dim_head)
+
+    q, k, v = map(split_heads, (q, k, v))         # (N, s, heads, d)
+    q = (jax.nn.softmax(q.astype(jnp.float32), axis=-1)
+         * (dim_head ** -0.5)).astype(dtype)
+    k = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(dtype)
+    ctx = jnp.einsum("nkhd,nkhe->nhde", k, v)
+    return jnp.einsum("nhde,nkhd->nkhe", ctx, q).reshape(n, s, hidden)
+
+
 class SpatialLinearAttention(nn.Module):
-    """Per-frame linear attention over spatial tokens (:602-628)."""
+    """Per-frame linear attention over spatial tokens (:602-628).
+
+    TPU path keeps heads in the lane dim end-to-end (same layout strategy
+    as the packed TemporalAttention): per-head softmax + k^T v context via
+    matmuls against constant head-group/block-diagonal masks instead of a
+    5-D split-heads einsum. The masked (C, C) contraction does heads x the
+    FLOPs of the per-head form, but this module is layout-bound, not
+    FLOP-bound: 19.1 -> ~4 ms at the 256^2 top level
+    (scripts/probe_unet_phases.py). Both paths share identical weights and
+    are parity-tested against each other (tests/test_dm_smoke.py).
+    """
     heads: int = 8
     dim_head: int = 32
     dtype: Any = jnp.float32
@@ -240,18 +308,12 @@ class SpatialLinearAttention(nn.Module):
                       name="to_qkv")(y)
         q, k, v = jnp.split(qkv.reshape(b * t, h * w, 3 * hidden), 3, axis=-1)
 
-        # tokens stay in the natural (N, hw, heads, d) layout end-to-end —
-        # the (N, heads, d, hw) transposes cost ~half this module's 18 ms at
-        # 256^2 top level (probe_unet_phases); the contractions are identical
-        def split_heads(z):
-            return z.reshape(b * t, h * w, self.heads, self.dim_head)
-
-        q, k, v = map(split_heads, (q, k, v))     # (N, hw, heads, d)
-        q = (jax.nn.softmax(q.astype(jnp.float32), axis=-1)
-             * (self.dim_head ** -0.5)).astype(self.dtype)
-        k = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(self.dtype)
-        ctx = jnp.einsum("nkhd,nkhe->nhde", k, v)
-        out = jnp.einsum("nhde,nkhd->nkhe", ctx, q)
+        if jax.default_backend() == "tpu":
+            out = spatial_linear_packed(q, k, v, self.heads, self.dim_head,
+                                        self.dtype)
+        else:
+            out = spatial_linear_natural(q, k, v, self.heads, self.dim_head,
+                                         self.dtype)
         out = out.reshape(b * t, h, w, hidden)
         out = nn.Conv(c, (1, 1), dtype=self.dtype, name="to_out")(out)
         return out.reshape(b, t, h, w, c)

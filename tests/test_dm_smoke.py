@@ -88,6 +88,24 @@ class TestUnet3D:
             np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                        atol=2e-4, err_msg=f"chunk={chunk}")
 
+    def test_spatial_linear_packed_matches_natural(self):
+        """The TPU heads-in-lanes spatial linear attention (per-head softmax
+        + context via constant head-group/block-diagonal mask matmuls)
+        against the natural split-heads layout — must agree to f32
+        rounding for every dtype the module runs in."""
+        from dawn_tpu.models.dm.unet3d import (spatial_linear_natural,
+                                               spatial_linear_packed)
+        heads, dh = 4, 16
+        rs = np.random.RandomState(7)
+        q, k, v = (jnp.asarray(rs.randn(3, 25, heads * dh), jnp.float32)
+                   for _ in range(3))
+        for dtype, atol in ((jnp.float32, 1e-5), (jnp.bfloat16, 3e-2)):
+            a = spatial_linear_natural(q, k, v, heads, dh, dtype)
+            b = spatial_linear_packed(q, k, v, heads, dh, dtype)
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                atol=atol, err_msg=str(dtype))
+
     def test_static_split_matches_full(self, unet_and_params):
         """precomputed static init_conv term + 3-channel step == full
         275-channel conv (SplitInitConv linearity — the DDIM-scan
