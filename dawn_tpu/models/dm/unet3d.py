@@ -112,6 +112,69 @@ class Block(nn.Module):
         return jax.nn.silu(y)
 
 
+def _l2norm_grouped(x: jax.Array, g: jax.Array) -> jax.Array:
+    """l2norm within each head's lane group, heads staying in lanes.
+
+    x: (..., heads*dim_head) f32; g: the _head_group_matrix. Same epsilon
+    as :func:`l2norm` (reference CrossAttention.l2norm)."""
+    ss = jnp.square(x) @ g                     # (..., heads) per-head sum sq
+    return x * (jax.lax.rsqrt(ss + 1e-24) @ g.T)
+
+
+def cond_cross_natural(q, k, v, null_kv, q_scale, k_scale, heads, dim_head,
+                       scale, dtype):
+    """Cosine-sim 2-key cross-attention in the (N, s, heads, d) split-heads
+    layout — the CPU path and the parity anchor for
+    :func:`cond_cross_packed`. q: (N, S, H*D); k, v: (N, H*D)."""
+    n, s, inner = q.shape
+    q = q.reshape(n, s, heads, dim_head)
+    k = k.reshape(n, 1, heads, dim_head)
+    v = v.reshape(n, 1, heads, dim_head)
+    nk = jnp.broadcast_to(null_kv[0], (n, 1, heads, dim_head))
+    nv = jnp.broadcast_to(null_kv[1], (n, 1, heads, dim_head))
+    k = jnp.concatenate([nk, k], axis=1)   # (N, 2, H, D)
+    v = jnp.concatenate([nv, v], axis=1)
+
+    q = (l2norm(q.astype(jnp.float32)) * q_scale).astype(dtype)
+    k = (l2norm(k.astype(jnp.float32)) * k_scale).astype(dtype)
+
+    sim = jnp.einsum("nshd,nkhd->nhsk", q, k) * scale
+    attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(v.dtype)
+    return jnp.einsum("nhsk,nkhd->nshd", attn, v).reshape(n, s, inner)
+
+
+def cond_cross_packed(q, k, v, null_kv, q_scale, k_scale, heads, dim_head,
+                      scale, dtype):
+    """Same math with heads in the lane dim end-to-end.
+
+    The context is ONE token, so keys = {null, cond} and the softmax is a
+    2-way mix: compute both per-head logits as grouped lane reductions
+    (elementwise product @ head-group matrix), blend v/null_v with the two
+    probabilities expanded back to lanes. Zero transposes, zero 5-D
+    reshapes; exactly equal to :func:`cond_cross_natural` up to f32
+    rounding (parity-tested)."""
+    gmat = jnp.asarray(_head_group_matrix(heads, dim_head), jnp.float32)
+    qs_f = jnp.tile(q_scale, heads)
+    ks_f = jnp.tile(k_scale, heads)
+    nk_f = jnp.tile(null_kv[0], heads)
+    nv_f = jnp.tile(null_kv[1], heads).astype(dtype)
+
+    qn = (_l2norm_grouped(q.astype(jnp.float32), gmat) * qs_f).astype(dtype)
+    kn = (_l2norm_grouped(k.astype(jnp.float32), gmat) * ks_f).astype(dtype)
+    nkn = (_l2norm_grouped(nk_f.astype(jnp.float32), gmat) * ks_f).astype(dtype)
+
+    g_d = gmat.astype(dtype)
+    sim0 = ((qn * nkn) @ g_d).astype(jnp.float32) * scale     # (N, S, H)
+    sim1 = ((qn * kn[:, None, :]) @ g_d).astype(jnp.float32) * scale
+    m = jnp.maximum(sim0, sim1)
+    e0 = jnp.exp(sim0 - m)
+    e1 = jnp.exp(sim1 - m)
+    inv = 1.0 / (e0 + e1)
+    p0 = ((e0 * inv) @ gmat.T).astype(dtype)                  # (N, S, H*D)
+    p1 = ((e1 * inv) @ gmat.T).astype(dtype)
+    return p0 * nv_f + p1 * v[:, None, :]
+
+
 class CondCrossAttention(nn.Module):
     """Cosine-similarity cross-attention to ONE condition token per frame.
 
@@ -120,6 +183,12 @@ class CondCrossAttention(nn.Module):
     Context here is a single token, so keys = {null, cond}: the softmax is
     over 2 entries and the whole op is a couple of tiny matmuls.
     x: (N, S, C) tokens; context: (N, ctx_dim).
+
+    TPU path (:func:`cond_cross_packed`) keeps heads in the lane dim (same
+    layout strategy as the packed temporal / spatial-linear paths): grouped
+    l2norm, per-head 2-way softmax and v-blend as lane-group matmuls —
+    this module appears 3x in every ResnetBlockCaMul and its split-heads
+    einsums were pure layout overhead (probe_unet_phases).
     """
     out_dim: int
     dim_head: int = 8
@@ -142,20 +211,10 @@ class CondCrossAttention(nn.Module):
         q_scale = self.param("q_scale", nn.initializers.ones, (self.dim_head,))
         k_scale = self.param("k_scale", nn.initializers.ones, (self.dim_head,))
 
-        q = q.reshape(n, s, self.heads, self.dim_head)
-        k = k.reshape(n, 1, self.heads, self.dim_head)
-        v = v.reshape(n, 1, self.heads, self.dim_head)
-        nk = jnp.broadcast_to(null_kv[0], (n, 1, self.heads, self.dim_head))
-        nv = jnp.broadcast_to(null_kv[1], (n, 1, self.heads, self.dim_head))
-        k = jnp.concatenate([nk, k], axis=1)   # (N, 2, H, D)
-        v = jnp.concatenate([nv, v], axis=1)
-
-        q = (l2norm(q.astype(jnp.float32)) * q_scale).astype(self.dtype)
-        k = (l2norm(k.astype(jnp.float32)) * k_scale).astype(self.dtype)
-
-        sim = jnp.einsum("nshd,nkhd->nhsk", q, k) * self.scale
-        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(v.dtype)
-        out = jnp.einsum("nhsk,nkhd->nshd", attn, v).reshape(n, s, inner)
+        fn = (cond_cross_packed if jax.default_backend() == "tpu"
+              else cond_cross_natural)
+        out = fn(q, k, v, null_kv, q_scale, k_scale, self.heads,
+                 self.dim_head, self.scale, self.dtype)
         out = nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype,
                        name="to_out")(out)
         return ChanLayerNorm(name="out_norm")(out)

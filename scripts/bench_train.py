@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--img-size", type=int, default=128)
     ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
     ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--json-out", default=None,
+                    help="also write the one-line JSON artifact here")
     args = ap.parse_args()
 
     import jax
@@ -73,6 +75,20 @@ def main():
         best = min(best, time.perf_counter() - t0)
     print(f"train step: {best*1e3:.1f} ms  -> {b/best:.2f} examples/s/chip "
           f"({b*t/best:.1f} frames/s/chip)  finite={float(metrics['grads_finite'])}")
+    if args.json_out:
+        import json
+        line = json.dumps({
+            "metric": (f"DM stage-1 train examples/sec/chip (bs {b}, {t} "
+                       f"frames, {s}x{s}, {args.dtype}, incl. frozen LFG "
+                       f"teacher + Adam + EMA)"),
+            "value": round(b / best, 2),
+            "unit": "examples/sec/chip",
+            "step_ms": round(best * 1e3, 1),
+            "frames_per_sec": round(b * t / best, 1),
+        })
+        with open(args.json_out, "w") as f:
+            f.write(line + "\n")
+        print(line)
 
 
 if __name__ == "__main__":

@@ -106,6 +106,29 @@ class TestUnet3D:
                 np.asarray(a, np.float32), np.asarray(b, np.float32),
                 atol=atol, err_msg=str(dtype))
 
+    def test_cond_cross_packed_matches_natural(self):
+        """The TPU heads-in-lanes 2-key cross-attention (grouped l2norm +
+        per-head 2-way softmax as lane-group matmuls) against the natural
+        split-heads layout."""
+        from dawn_tpu.models.dm.unet3d import (cond_cross_natural,
+                                               cond_cross_packed)
+        heads, dh, scale = 8, 8, 8.0
+        rs = np.random.RandomState(11)
+        q = jnp.asarray(rs.randn(5, 17, heads * dh), jnp.float32)
+        k, v = (jnp.asarray(rs.randn(5, heads * dh), jnp.float32)
+                for _ in range(2))
+        null_kv = jnp.asarray(rs.randn(2, dh), jnp.float32)
+        q_scale = jnp.asarray(rs.rand(dh) + 0.5, jnp.float32)
+        k_scale = jnp.asarray(rs.rand(dh) + 0.5, jnp.float32)
+        for dtype, atol in ((jnp.float32, 1e-5), (jnp.bfloat16, 3e-2)):
+            a = cond_cross_natural(q, k, v, null_kv, q_scale, k_scale,
+                                   heads, dh, scale, dtype)
+            b = cond_cross_packed(q, k, v, null_kv, q_scale, k_scale,
+                                  heads, dh, scale, dtype)
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                atol=atol, err_msg=str(dtype))
+
     def test_static_split_matches_full(self, unet_and_params):
         """precomputed static init_conv term + 3-channel step == full
         275-channel conv (SplitInitConv linearity — the DDIM-scan
