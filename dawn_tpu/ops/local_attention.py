@@ -284,6 +284,7 @@ def _local_attn_packed_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *,
     q = q_ref[:]
     k = k_ref[:]
     v = v_ref[:]
+    outs = []
     for i in range(hb):
         sl = slice(i * dh, (i + 1) * dh)
         s = jax.lax.dot_general(q[:, :, sl], k[:, :, sl],
@@ -296,7 +297,9 @@ def _local_attn_packed_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *,
         o = jax.lax.dot_general(
             p.astype(v.dtype), v[:, :, sl], (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        o_ref[:, :, sl] = (o / den).astype(o_ref.dtype)
+        outs.append(o / den)
+    # one full-lane store instead of hb partial 32-lane stores
+    o_ref[:] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
 PACKED_MAX_T = 256
@@ -324,7 +327,17 @@ def local_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
     applied to the output — together 18.8 -> 15.9 ms/op at the 32k-row
     256^2 top-level shape (vs windowed-full XLA 16.7, banded 31.1) and
     6.7 -> 5.8 at the 8k-row 128^2 top level (scripts/bench_attention.py,
-    v5e bf16).
+    v5e bf16). One full-lane output store (concat of the per-head tiles)
+    instead of hb partial 32-lane stores: 15.99 -> 15.57 at 32k rows.
+    g_rows=16 is measured-optimal at 32k rows (g=32: 16.3, g=64: 17.2 —
+    larger blocks cost VMEM-pipelining more than they save in grid steps).
+    Remaining-headroom roofline at 32k rows/T=200: ~2.2 ms MXU (K=dh=32
+    wastes 3/4 of the systolic K dim; the 4x-FLOP full-K masked variant
+    measured the same, so MXU is not the serializer), ~2 ms HBM, leaving
+    the ~13 ms VPU add-max-sub-exp-sum chain over tq*tk entries as the
+    floor; banding below the 128-lane key-tile granularity cannot shrink
+    the entry count at window 40/T=200 (a 64-row q-chunk x 128-lane k-tile
+    decomposition keeps 6/8 tiles live = 49k vs 51k entries/row-head).
 
     q, k, v: (N, T, heads*dh), q pre-scaled and pre-rotated.
 

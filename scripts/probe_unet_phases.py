@@ -56,6 +56,9 @@ def main():
     ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
     ap.add_argument("--modules", action="store_true",
                     help="also decompose per-module at each level shape")
+    ap.add_argument("--extras", action="store_true",
+                    help="with --modules: also probe the up-path/head/"
+                         "init/resample pieces the level loop misses")
     args = ap.parse_args()
 
     import jax
@@ -144,6 +147,74 @@ def main():
         best, comp = timeit(lambda x: f(rbv, x), xv)
         print(f"  resnet-ca-mul  {s_sz:3d}^2 c{ch:3d}: "
               f"{max(best-rtt,0)*1e3:7.1f} ms (compile {comp:.0f}s)")
+
+    if not getattr(args, "extras", False):
+        return
+
+    # ---- everything the level loop above misses ---------------------------
+    # (up-path resnets see concat channels; the top level also runs
+    # init_conv.noisy+static-add, an extra temporal attn, and the two
+    # output-head resnets on cat(x, r) — all at the most expensive spatial
+    # size. Plus the down/upsample convs and the REAL dynamic-thresholding
+    # quantile the sampler uses, ops/quantile.py.)
+    from dawn_tpu.models.dm.unet3d import (Downsample, ResnetBlockCaMul,
+                                           SplitInitConv, Upsample)
+    from dawn_tpu.ops.quantile import quantile_nonneg
+
+    temb = jnp.asarray(rng.randn(b, 256), jnp.float32)
+    x_top = jnp.asarray(rng.randn(b, t, ls, ls, 64), dt)
+    x_cat = jnp.asarray(rng.randn(b, t, ls, ls, 128), dt)
+    catv = [(x_cat + i * 1e-3,) for i in range(5)]
+    topv = [(x_top + i * 1e-3,) for i in range(5)]
+
+    rb_up = ResnetBlockCaMul(features=64, time_emb_dim=256, cond_aud=1024,
+                             cond_pose=6, cond_eye=2, dtype=dt)
+    rbv = jax.jit(rb_up.init)(jax.random.PRNGKey(4), x_cat, temb, cond_f)
+    f = jax.jit(lambda v, x: jnp.sum(rb_up.apply(v, x, temb, cond_f)))
+    best, comp = timeit(lambda x: f(rbv, x), catv)
+    print(f"  up-resnet   {ls:3d}^2 c128->64: {max(best-rtt,0)*1e3:7.1f} ms "
+          f"(compile {comp:.0f}s)")
+
+    rb_head = ResnetBlockCaMul(features=64, dtype=dt)
+    hv = jax.jit(rb_head.init)(jax.random.PRNGKey(5), x_cat)
+    f = jax.jit(lambda v, x: jnp.sum(rb_head.apply(v, x)))
+    best, comp = timeit(lambda x: f(hv, x), catv)
+    print(f"  head-resnet {ls:3d}^2 c128->64 (x2 heads): "
+          f"{max(best-rtt,0)*1e3:7.1f} ms (compile {comp:.0f}s)")
+
+    ic = SplitInitConv(64, 275, 7, dt)
+    x_noisy = jnp.asarray(rng.randn(b * t, ls, ls, 3), dt)
+    static = jnp.asarray(rng.randn(b * t, ls, ls, 64), dt)
+    icv = jax.jit(lambda k: ic.init(k, jnp.zeros((1, ls, ls, 275), dt),
+                                    method="full"))(jax.random.PRNGKey(6))
+    f = jax.jit(lambda v, x: jnp.sum(
+        ic.apply(v, x, method="noisy") + static))
+    best, comp = timeit(lambda x: f(icv, x),
+                        [(x_noisy + i * 1e-3,) for i in range(5)])
+    print(f"  init-conv(noisy)+static add: {max(best-rtt,0)*1e3:7.1f} ms "
+          f"(compile {comp:.0f}s)")
+
+    dsm = Downsample(64, dtype=dt)
+    dv = jax.jit(dsm.init)(jax.random.PRNGKey(7), x_top)
+    f = jax.jit(lambda v, x: jnp.sum(dsm.apply(v, x)))
+    best, comp = timeit(lambda x: f(dv, x), topv)
+    print(f"  downsample  {ls:3d}^2 c64: {max(best-rtt,0)*1e3:7.1f} ms "
+          f"(compile {comp:.0f}s)")
+
+    x_half = jnp.asarray(rng.randn(b, t, ls // 2, ls // 2, 64), dt)
+    usm = Upsample(64, dtype=dt)
+    uv = jax.jit(usm.init)(jax.random.PRNGKey(8), x_half)
+    f = jax.jit(lambda v, x: jnp.sum(usm.apply(v, x)))
+    best, comp = timeit(lambda x: f(uv, x),
+                        [(x_half + i * 1e-3,) for i in range(5)])
+    print(f"  upsample    {ls//2:3d}^2->{ls}^2 c64: "
+          f"{max(best-rtt,0)*1e3:7.1f} ms (compile {comp:.0f}s)")
+
+    x0f = jnp.asarray(rng.randn(b, t * ls * ls * 3).astype(np.float32))
+    f = jax.jit(lambda x: jnp.sum(quantile_nonneg(jnp.abs(x), 0.9)))
+    best, comp = timeit(f, [(x0f + i * 1e-4,) for i in range(5)])
+    print(f"  quantile_nonneg (sampler's): {max(best-rtt,0)*1e3:7.1f} ms "
+          f"(compile {comp:.0f}s)")
 
 
 if __name__ == "__main__":
