@@ -71,8 +71,7 @@ def cuda_noop():
     torch.Tensor.cuda, nn.Module.cuda = saved_t, saved_m
 
 
-@pytest.fixture(scope="module")
-def ref_model(cuda_noop, tmp_path_factory):
+def _make_ref_model(tmp_path_factory, dim_mults):
     """The ACTUAL reference FlowDiffusion built from a fabricated small
     checkpoint + config (its ctor hard-requires both, :111-136)."""
     import yaml
@@ -128,7 +127,7 @@ def ref_model(cuda_noop, tmp_path_factory):
     model = fd_mod.FlowDiffusion(
         img_size=IMG // 4,
         sampling_timesteps=DDIM_STEPS, win_width=WIN, pose_dim=6,
-        dim_mults=(1, 2), is_train=False, use_residual_flow=False,
+        dim_mults=dim_mults, is_train=False, use_residual_flow=False,
         ddim_sampling_eta=1.0, pretrained_pth=ckpt_path, config_pth=cfg_path)
     # the production path sizes the net per video (unified:370)
     model.update_num_frames(T_FRAMES)
@@ -136,8 +135,7 @@ def ref_model(cuda_noop, tmp_path_factory):
     return model
 
 
-@pytest.fixture(scope="module")
-def jax_model(ref_model):
+def _make_jax_model(ref_model, dim_mults):
     """dawn_tpu FlowDiffusion with the reference's converted weights."""
     from dawn_tpu.models.dm.flow_diffusion import (FlowDiffusion,
                                                    FlowDiffusionConfig)
@@ -147,14 +145,14 @@ def jax_model(ref_model):
     cfg = FlowDiffusionConfig(
         img_size=IMG, pose_dim=6, win_width=WIN,
         sampling_timesteps=DDIM_STEPS, ddim_sampling_eta=1.0,
-        attn_mode="full", dim_mults=(1, 2),
+        attn_mode="full", dim_mults=dim_mults,
         lfg_max_features=LFG_CFG["max_features"],
         lfg_num_bottleneck=LFG_CFG["num_bottleneck_blocks"])
     jmodel = FlowDiffusion(cfg)
     variables = {
         "unet": convert_unet3d(
             {k: v for k, v in ref_model.unet.state_dict().items()},
-            num_levels=2),
+            num_levels=len(dim_mults)),
         "generator": convert_lfg_generator(
             {k: v for k, v in ref_model.generator.state_dict().items()},
             num_down_blocks=2, num_bottleneck=2)["generator"],
@@ -162,6 +160,16 @@ def jax_model(ref_model):
             {k: v for k, v in ref_model.face_loc_emb.state_dict().items()}),
     }
     return jmodel, variables
+
+
+@pytest.fixture(scope="module")
+def ref_model(cuda_noop, tmp_path_factory):
+    return _make_ref_model(tmp_path_factory, dim_mults=(1, 2))
+
+
+@pytest.fixture(scope="module")
+def jax_model(ref_model):
+    return _make_jax_model(ref_model, dim_mults=(1, 2))
 
 
 def _inputs(seed=11):
@@ -368,3 +376,48 @@ class TestAncestralAndInterpolateParity:
         ref_j = np.transpose(img.numpy(), (0, 2, 3, 4, 1))
         err = np.abs(np.asarray(got) - ref_j).max()
         assert err < 1e-3, f"interpolate parity max err {err}"
+
+
+def test_sample_one_video_released_depth(cuda_noop, tmp_path_factory,
+                                         monkeypatch):
+    """Same end-to-end fixed-noise program at the RELEASED UNet topology —
+    dim 64, dim_mults (1,2,4,8), channels 3+256+16 (..._init_cond_test.py:
+    140-155) — so a depth-dependent slip (mid-block at 1x1, deep skip
+    wiring, level-4 converter mapping) can't hide behind the shallow
+    (1,2) fixture above. Spatial stays tiny (latent 8 -> 4 -> 2 -> 1);
+    depth and channel widths are the released ones."""
+    mults = (1, 2, 4, 8)
+    ref = _make_ref_model(tmp_path_factory, dim_mults=mults)
+    jmodel, variables = _make_jax_model(ref, dim_mults=mults)
+    img, audio, pose, eye, bbox = _inputs(seed=13)
+
+    tap = _NoiseTap(seed=17)
+    monkeypatch.setattr(torch, "randn", tap.randn)
+    monkeypatch.setattr(torch, "randn_like", tap.randn_like)
+    with torch.no_grad():
+        ref_out = ref.sample_one_video(
+            sample_img=torch.from_numpy(img),
+            sample_audio_hubert=torch.from_numpy(audio),
+            sample_pose=torch.from_numpy(pose.copy()),
+            sample_eye=torch.from_numpy(eye),
+            sample_bbox=torch.from_numpy(bbox.copy()[:, :, None]),
+            cond_scale=1.0)
+
+    ls = IMG // 4
+    noise_seq = _noise_seq_from_draws(tap.draws, DDIM_STEPS,
+                                      (1, T_FRAMES, ls, ls, 3))
+    out = jmodel.sample_one_video(
+        variables, jax.random.PRNGKey(0),
+        jnp.asarray(np.transpose(img, (0, 2, 3, 1))),
+        jnp.asarray(audio),
+        jnp.asarray(np.transpose(pose, (0, 2, 1))),
+        jnp.asarray(np.transpose(eye, (0, 2, 1))),
+        jnp.asarray(bbox), cond_scale=1.0,
+        noise_seq=jnp.asarray(noise_seq))
+
+    for key in ("sample_vid_grid", "sample_vid_conf", "sample_out_vid",
+                "sample_warped_vid"):
+        got = np.asarray(out[key])
+        want = np.transpose(ref_out[key].numpy(), (0, 2, 3, 4, 1))
+        err = np.abs(got - want).max()
+        assert err < 1e-3, f"{key}: max err {err}"
