@@ -97,6 +97,7 @@ class VideoGenerator:
         self._hubert = None
         self._pbnet: Dict[str, Any] = {}
         self._video_model = None
+        self._sampler = None
 
     # ------------------------------------------------------------ stage 1
     def extract_pose(self) -> None:
@@ -126,10 +127,24 @@ class VideoGenerator:
             import jax
             import jax.numpy as jnp
             from dawn_tpu.models.hubert import HubertModel
-            from dawn_tpu.weights.hubert_convert import convert_hubert_pretrained
+            from dawn_tpu.models.hubert.model import HubertConfig
 
-            variables, cfg = convert_hubert_pretrained(self.paths.hubert_dir)
-            model = HubertModel(cfg)
+            hub_dir = self.paths.hubert_dir
+            if hub_dir and os.path.isdir(hub_dir):
+                from dawn_tpu.weights.hubert_convert import (
+                    convert_hubert_pretrained)
+                variables, cfg = convert_hubert_pretrained(hub_dir)
+                model = HubertModel(cfg)
+            else:
+                # assetless fallback (mirrors _init_video_model): the full
+                # hubert-large topology at random init, so the pipeline runs
+                # (and can be benchmarked) on machines without checkpoints
+                print("[process_audio] no HuBERT checkpoint dir — "
+                      "random hubert-large weights")
+                cfg = HubertConfig.large()
+                model = HubertModel(cfg)
+                variables = model.init(jax.random.PRNGKey(self.seed),
+                                       jnp.zeros((1, 4000), jnp.float32))
             fwd = jax.jit(lambda w: model.apply(variables, w))
             self._hubert = lambda w: np.asarray(fwd(jnp.asarray(w)))
         return self._hubert
@@ -141,15 +156,22 @@ class VideoGenerator:
         np.save(os.path.join(self.cache_path, "target_audio.npy"), feats)
 
     # ------------------------------------------------------------ stage 3
-    def _load_pbnet(self, ckpt_path: str, kind: str):
+    def _load_pbnet(self, ckpt_path: Optional[str], kind: str):
         import yaml
         import jax
         from dawn_tpu.models.pbnet import build_pbnet
         from dawn_tpu.weights import convert_pbnet_checkpoint
 
-        folder = os.path.dirname(ckpt_path)
-        with open(os.path.join(folder, "opt.yaml"), "rb") as f:
-            opt = dict(yaml.load(f, Loader=yaml.Loader))
+        if ckpt_path and os.path.exists(ckpt_path):
+            folder = os.path.dirname(ckpt_path)
+            with open(os.path.join(folder, "opt.yaml"), "rb") as f:
+                opt = dict(yaml.load(f, Loader=yaml.Loader))
+        else:
+            # assetless fallback: the deployed transformerreemb6 topology at
+            # random init (same degradation contract as _init_video_model)
+            print(f"[generate_pose_blink] no PBnet {kind} checkpoint — "
+                  f"random transformerreemb6 weights")
+            opt, ckpt_path = {}, None
         # dim overrides exactly as the reference applies them (:79-92)
         opt["audio_dim"] = 1024
         if kind == "pose":
@@ -157,8 +179,11 @@ class VideoGenerator:
         else:
             opt["pos_dim"], opt["eye_dim"] = 2, 0
         model = build_pbnet(opt, deterministic=True)
-        variables = convert_pbnet_checkpoint(ckpt_path,
-                                             num_layers=model.hp.num_layers)
+        if ckpt_path:
+            variables = convert_pbnet_checkpoint(
+                ckpt_path, num_layers=model.hp.num_layers)
+        else:
+            variables = model.init_variables(jax.random.PRNGKey(self.seed))
         return model, variables
 
     def generate_pose_blink(self) -> None:
@@ -182,12 +207,12 @@ class VideoGenerator:
 
         rng = jax.random.PRNGKey(self.seed)
         rp, rb = jax.random.split(rng)
-        out_p = np.asarray(model_p.generate(vars_p, rp,
-                                            jnp.asarray(init_pose_n),
-                                            jnp.asarray(audio)))[0]
-        out_b = np.asarray(model_b.generate(vars_b, rb,
-                                            jnp.asarray(init_blink),
-                                            jnp.asarray(audio)))[0]
+        gen_p = jax.jit(lambda v, r, i, a: model_p.generate(v, r, i, a))
+        gen_b = jax.jit(lambda v, r, i, a: model_b.generate(v, r, i, a))
+        out_p = np.asarray(gen_p(vars_p, rp, jnp.asarray(init_pose_n),
+                                 jnp.asarray(audio)))[0]
+        out_b = np.asarray(gen_b(vars_b, rb, jnp.asarray(init_blink),
+                                 jnp.asarray(audio)))[0]
         out_p = inv_transform(out_p + init_pose_n, POSE_MIN, POSE_MAX)
         out_b = out_b + init_blink
         np.save(os.path.join(cache, "dri_pose.npy"), out_p)
@@ -254,7 +279,14 @@ class VideoGenerator:
             real_pose, eye_bbox = np.zeros((1, 7), np.float32), DEFAULT_EYE_BBOX
 
         model, variables = self._init_video_model()
-        out = model.sample_one_video(
+        if self._sampler is None:
+            # one jitted program: DDIM scan + batched LFG decode. cond_scale
+            # is a python float -> static under jit (new scale recompiles,
+            # same as the reference's CFG branch being data-independent)
+            self._sampler = jax.jit(
+                lambda v, r, *a, **k: model.sample_one_video(v, r, *a, **k),
+                static_argnames=("cond_scale",))
+        out = self._sampler(
             variables, jax.random.PRNGKey(self.seed),
             jnp.asarray(img[None]), jnp.asarray(hubert[None]),
             jnp.asarray(pose[None]), jnp.asarray(blink[None]),
