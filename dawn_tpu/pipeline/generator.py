@@ -186,6 +186,18 @@ class VideoGenerator:
             variables = model.init_variables(jax.random.PRNGKey(self.seed))
         return model, variables
 
+    def _pbnet_entry(self, kind: str):
+        """(model, variables, jitted generate) per kind, built once — repeat
+        calls (batch OOD runs, benches) must not re-trace."""
+        if kind not in self._pbnet:
+            import jax
+            ckpt = (self.paths.pbnet_pose_ckpt if kind == "pose"
+                    else self.paths.pbnet_blink_ckpt)
+            model, variables = self._load_pbnet(ckpt, kind)
+            gen = jax.jit(lambda v, r, i, a: model.generate(v, r, i, a))
+            self._pbnet[kind] = (model, variables, gen)
+        return self._pbnet[kind]
+
     def generate_pose_blink(self) -> None:
         """audio + init state -> dri_pose.npy (T,6) + dri_blink.npy (T,2)."""
         import jax
@@ -202,13 +214,11 @@ class VideoGenerator:
 
         init_pose_n = (init_pose - POSE_MIN) / (POSE_MAX - POSE_MIN)
 
-        model_p, vars_p = self._load_pbnet(self.paths.pbnet_pose_ckpt, "pose")
-        model_b, vars_b = self._load_pbnet(self.paths.pbnet_blink_ckpt, "blink")
+        _, vars_p, gen_p = self._pbnet_entry("pose")
+        _, vars_b, gen_b = self._pbnet_entry("blink")
 
         rng = jax.random.PRNGKey(self.seed)
         rp, rb = jax.random.split(rng)
-        gen_p = jax.jit(lambda v, r, i, a: model_p.generate(v, r, i, a))
-        gen_b = jax.jit(lambda v, r, i, a: model_b.generate(v, r, i, a))
         out_p = np.asarray(gen_p(vars_p, rp, jnp.asarray(init_pose_n),
                                  jnp.asarray(audio)))[0]
         out_b = np.asarray(gen_b(vars_b, rb, jnp.asarray(init_blink),
