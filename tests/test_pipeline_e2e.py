@@ -68,3 +68,10 @@ def test_run_assetless(tmp_path, tiny_hubert):
     name = os.path.splitext(os.path.basename(img_path))[0]
     pngs = os.listdir(os.path.join(out_dir, name, "img"))
     assert len(pngs) == t
+
+    # a second run must reuse every cached jitted program — no re-tracing
+    # (models/jits are cached on the VideoGenerator: _hubert, _pbnet, _sampler)
+    gen.run()
+    assert gen._sampler._cache_size() == 1
+    for kind in ("pose", "blink"):
+        assert gen._pbnet[kind][2]._cache_size() == 1
