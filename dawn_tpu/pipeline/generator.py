@@ -99,6 +99,32 @@ class VideoGenerator:
         self._video_model = None
         self._sampler = None
 
+    @classmethod
+    def from_config(cls, config_path: str, audio_path: str, image_path: str,
+                    output_path: str, cache_path: str, **overrides):
+        """Build from a reference-style DAWN yaml (config/DAWN_{128,256}.yaml
+        keys: input_size, max_n_frames, win_width, sampling_step,
+        ddim_sampling_eta, cond_scale, random_seed, model_config ckpt paths
+        — unified_video_generator.py:119-129). kwargs override the yaml."""
+        import yaml
+        with open(config_path) as f:
+            cfg = yaml.safe_load(f) or {}
+        mc = cfg.get("model_config") or {}
+        paths = overrides.pop("paths", None) or GeneratorPaths(
+            dawn_ckpt=mc.get("diffusion_pretrained_pth"),
+            lfg_ckpt=mc.get("ae_pretrained_pth"))
+        kw = dict(resolution=cfg.get("input_size", 128),
+                  max_n_frames=cfg.get("max_n_frames", 200),
+                  win_width=cfg.get("win_width", 40),
+                  sampling_step=cfg.get("sampling_step", 20),
+                  ddim_sampling_eta=cfg.get("ddim_sampling_eta", 1.0),
+                  cond_scale=cfg.get("cond_scale", 1.0),
+                  attn_mode=cfg.get("attn_mode", "local"),
+                  seed=cfg.get("random_seed", 1234))
+        kw.update(overrides)
+        return cls(audio_path, image_path, output_path, cache_path,
+                   paths=paths, **kw)
+
     # ------------------------------------------------------------ stage 1
     def extract_pose(self) -> None:
         """Face -> init_pose.npy (1,7) + init_eye_bbox.npy (1,8).
@@ -352,12 +378,18 @@ def parse_args(argv=None):
     p.add_argument("--output_path", default="output")
     p.add_argument("--cache_path", default="cache/tmp")
     p.add_argument("--resolution", type=int, default=128)
+    p.add_argument("--config", default=None,
+                   help="reference-style DAWN yaml (defaults to "
+                        "configs/dawn_{resolution}.yaml when that file "
+                        "exists, exactly like unified_video_generator.py "
+                        "loading config/DAWN_{resolution}.yaml)")
     p.add_argument("--hubert_dir", default=None)
     p.add_argument("--pbnet_pose_ckpt", default=None)
     p.add_argument("--pbnet_blink_ckpt", default=None)
     p.add_argument("--dawn_ckpt", default=None)
     p.add_argument("--lfg_ckpt", default=None)
-    p.add_argument("--attn", default="local", choices=["full", "local", "pallas"])
+    p.add_argument("--attn", default=None, choices=["full", "local", "pallas"],
+                   help="default: the config's attn_mode, else 'local'")
     p.add_argument("--bucket_frames", type=int, default=25,
                    help="round video length up to this multiple so similar-"
                         "length videos reuse one compiled program (0 = exact; "
@@ -368,14 +400,33 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    config = args.config
+    if config is None:
+        default_cfg = os.path.join("configs", f"dawn_{args.resolution}.yaml")
+        config = default_cfg if os.path.exists(default_cfg) else None
+    if config is not None:
+        import yaml
+        with open(config) as f:
+            mc = (yaml.safe_load(f) or {}).get("model_config") or {}
+    else:
+        mc = {}
     paths = GeneratorPaths(
         hubert_dir=args.hubert_dir or GeneratorPaths.hubert_dir,
         pbnet_pose_ckpt=args.pbnet_pose_ckpt or GeneratorPaths.pbnet_pose_ckpt,
         pbnet_blink_ckpt=args.pbnet_blink_ckpt or GeneratorPaths.pbnet_blink_ckpt,
-        dawn_ckpt=args.dawn_ckpt, lfg_ckpt=args.lfg_ckpt)
-    gen = VideoGenerator(args.audio_path, args.image_path, args.output_path,
-                         args.cache_path, args.resolution, paths,
-                         attn_mode=args.attn, bucket_frames=args.bucket_frames)
+        dawn_ckpt=args.dawn_ckpt or mc.get("diffusion_pretrained_pth"),
+        lfg_ckpt=args.lfg_ckpt or mc.get("ae_pretrained_pth"))
+    overrides = dict(paths=paths, bucket_frames=args.bucket_frames)
+    if args.attn is not None:
+        overrides["attn_mode"] = args.attn
+    if config is not None:
+        gen = VideoGenerator.from_config(
+            config, args.audio_path, args.image_path, args.output_path,
+            args.cache_path, **overrides)
+    else:
+        gen = VideoGenerator(args.audio_path, args.image_path,
+                             args.output_path, args.cache_path,
+                             args.resolution, **overrides)
     gen.run()
 
 

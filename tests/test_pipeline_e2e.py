@@ -25,6 +25,30 @@ def tiny_hubert(monkeypatch):
     return tiny
 
 
+def test_from_config(tmp_path):
+    """Reference-style yaml -> constructor fields (unified:119-129)."""
+    from dawn_tpu.pipeline.generator import VideoGenerator
+
+    gen = VideoGenerator.from_config(
+        "configs/dawn_256.yaml", "a.wav", "i.png",
+        str(tmp_path / "out"), str(tmp_path / "cache"))
+    assert gen.resolution == 256
+    assert gen.max_n_frames == 200
+    assert gen.win_width == 40
+    assert gen.sampling_step == 20
+    assert gen.ddim_sampling_eta == 1.0
+    assert gen.seed == 1234
+    assert gen.paths.dawn_ckpt == "./pretrain_models/DAWN_256.pth"
+    assert gen.paths.lfg_ckpt == "./pretrain_models/LFG_256_400ep.pth"
+    # overrides win
+    gen = VideoGenerator.from_config(
+        "configs/dawn_128.yaml", "a.wav", "i.png",
+        str(tmp_path / "out"), str(tmp_path / "cache"),
+        sampling_step=2, attn_mode="full")
+    assert gen.resolution == 128 and gen.sampling_step == 2
+    assert gen.attn_mode == "full"
+
+
 def test_run_assetless(tmp_path, tiny_hubert):
     from scipy.io import wavfile
     from PIL import Image
