@@ -95,7 +95,11 @@ def test_run_assetless(tmp_path, tiny_hubert):
 
     # a second run must reuse every cached jitted program — no re-tracing
     # (models/jits are cached on the VideoGenerator: _hubert, _pbnet, _sampler)
+    # — and, seeded, must reproduce the frames byte-for-byte
+    frame0 = open(os.path.join(out_dir, name, "img", pngs[0]), "rb").read()
     gen.run()
     assert gen._sampler._cache_size() == 1
     for kind in ("pose", "blink"):
         assert gen._pbnet[kind][2]._cache_size() == 1
+    assert open(os.path.join(out_dir, name, "img", pngs[0]), "rb").read() \
+        == frame0
