@@ -71,6 +71,13 @@ def diversity_multimodality(activations: np.ndarray, labels: np.ndarray,
 
     multimodality = 0.0
     quotas = np.repeat(multimodality_times, num_labels)
+    # labels with no samples can never be drawn — zero their quota up front
+    # or the rejection loop below spins forever (the reference assumes every
+    # class id occurs; real eval dumps can have holes)
+    present = np.bincount(labels, minlength=num_labels) > 0
+    quotas[~present] = 0
+    if not present.any():
+        return div, 0.0
     while np.any(quotas > 0):
         i = rng.randint(0, n)
         li = labels[i]
@@ -81,7 +88,9 @@ def diversity_multimodality(activations: np.ndarray, labels: np.ndarray,
             j = rng.randint(0, n)
         quotas[li] -= 1
         multimodality += float(np.linalg.norm(activations[i] - activations[j]))
-    multimodality /= multimodality_times * num_labels
+    # reference divides by times*num_labels; with absent labels that would
+    # deflate the mean, so normalize by the labels actually sampled
+    multimodality /= multimodality_times * int(present.sum())
     return div, multimodality
 
 

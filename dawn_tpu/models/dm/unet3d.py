@@ -299,11 +299,16 @@ def _grouped_softmax_lanes(x: jax.Array, g: jax.Array) -> jax.Array:
     x: (..., heads*dim_head) f32; g: the _head_group_matrix. Stability:
     softmax within a group is invariant to subtracting any constant over
     that group, so the GLOBAL row max works for every group at once — one
-    full-lane reduction instead of 8 strided ones.
+    full-lane reduction instead of 8 strided ones. Caveat: a head whose
+    logits all sit > ~87 below the global max underflows to e == 0; the
+    denom clamp below turns that head's output into zeros instead of NaN
+    (inter-head logit gaps that large only occur in diverged models —
+    GroupNorm'd activations keep heads within a few units of each other).
     """
     m = jnp.max(x, axis=-1, keepdims=True)
     e = jnp.exp(x - m)
     denom = e @ g                       # (..., heads) per-head sums
+    denom = jnp.maximum(denom, jnp.finfo(jnp.float32).tiny)
     return e * ((1.0 / denom) @ g.T)
 
 

@@ -44,6 +44,23 @@ def pad_to_bucket(arrays, t: int, bucket: int, max_n_frames: int):
     return [np.pad(a, pad, mode="edge") for a in arrays], t_pad
 
 
+def _resolve_asset(path: Optional[str], default: Optional[str],
+                   kind: str) -> Optional[str]:
+    """Missing DEFAULT asset locations degrade to the random-weight fallback
+    (so assetless machines can run/bench the pipeline); an EXPLICITLY given
+    path that does not exist raises — silently generating a garbage video
+    from random weights after a path typo would look like a model bug."""
+    if not path:
+        return None
+    if os.path.exists(path):
+        return path
+    if path == default:
+        print(f"[{kind}] default asset missing ({path}) — "
+              f"random-weight fallback")
+        return None
+    raise FileNotFoundError(f"{kind}: {path} does not exist")
+
+
 @dataclasses.dataclass
 class GeneratorPaths:
     """Model asset locations (all optional; stages degrade gracefully)."""
@@ -110,9 +127,16 @@ class VideoGenerator:
         with open(config_path) as f:
             cfg = yaml.safe_load(f) or {}
         mc = cfg.get("model_config") or {}
+        # yaml-shipped checkpoint locations are default-like: when absent on
+        # this machine, degrade to the assetless fallback instead of raising
+        # (pass `paths` explicitly to demand specific checkpoints)
         paths = overrides.pop("paths", None) or GeneratorPaths(
-            dawn_ckpt=mc.get("diffusion_pretrained_pth"),
-            lfg_ckpt=mc.get("ae_pretrained_pth"))
+            dawn_ckpt=_resolve_asset(mc.get("diffusion_pretrained_pth"),
+                                     mc.get("diffusion_pretrained_pth"),
+                                     "config dawn_ckpt"),
+            lfg_ckpt=_resolve_asset(mc.get("ae_pretrained_pth"),
+                                    mc.get("ae_pretrained_pth"),
+                                    "config lfg_ckpt"))
         kw = dict(resolution=cfg.get("input_size", 128),
                   max_n_frames=cfg.get("max_n_frames", 200),
                   win_width=cfg.get("win_width", 40),
@@ -155,8 +179,9 @@ class VideoGenerator:
             from dawn_tpu.models.hubert import HubertModel
             from dawn_tpu.models.hubert.model import HubertConfig
 
-            hub_dir = self.paths.hubert_dir
-            if hub_dir and os.path.isdir(hub_dir):
+            hub_dir = _resolve_asset(self.paths.hubert_dir,
+                                     GeneratorPaths.hubert_dir, "hubert")
+            if hub_dir:
                 from dawn_tpu.weights.hubert_convert import (
                     convert_hubert_pretrained)
                 variables, cfg = convert_hubert_pretrained(hub_dir)
@@ -188,7 +213,10 @@ class VideoGenerator:
         from dawn_tpu.models.pbnet import build_pbnet
         from dawn_tpu.weights import convert_pbnet_checkpoint
 
-        if ckpt_path and os.path.exists(ckpt_path):
+        default = (GeneratorPaths.pbnet_pose_ckpt if kind == "pose"
+                   else GeneratorPaths.pbnet_blink_ckpt)
+        ckpt_path = _resolve_asset(ckpt_path, default, f"pbnet-{kind}")
+        if ckpt_path:
             folder = os.path.dirname(ckpt_path)
             with open(os.path.join(folder, "opt.yaml"), "rb") as f:
                 opt = dict(yaml.load(f, Loader=yaml.Loader))
@@ -377,7 +405,9 @@ def parse_args(argv=None):
     p.add_argument("--image_path", default="real_female_1.jpeg")
     p.add_argument("--output_path", default="output")
     p.add_argument("--cache_path", default="cache/tmp")
-    p.add_argument("--resolution", type=int, default=128)
+    p.add_argument("--resolution", type=int, default=None,
+                   help="128 or 256 (default: the config's input_size, "
+                        "else 128); explicit values override the config")
     p.add_argument("--config", default=None,
                    help="reference-style DAWN yaml (defaults to "
                         "configs/dawn_{resolution}.yaml when that file "
@@ -400,9 +430,10 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    resolution = args.resolution if args.resolution is not None else 128
     config = args.config
     if config is None:
-        default_cfg = os.path.join("configs", f"dawn_{args.resolution}.yaml")
+        default_cfg = os.path.join("configs", f"dawn_{resolution}.yaml")
         config = default_cfg if os.path.exists(default_cfg) else None
     if config is not None:
         import yaml
@@ -414,19 +445,27 @@ def main(argv=None):
         hubert_dir=args.hubert_dir or GeneratorPaths.hubert_dir,
         pbnet_pose_ckpt=args.pbnet_pose_ckpt or GeneratorPaths.pbnet_pose_ckpt,
         pbnet_blink_ckpt=args.pbnet_blink_ckpt or GeneratorPaths.pbnet_blink_ckpt,
-        dawn_ckpt=args.dawn_ckpt or mc.get("diffusion_pretrained_pth"),
-        lfg_ckpt=args.lfg_ckpt or mc.get("ae_pretrained_pth"))
+        # explicit CLI paths stay strict; yaml-shipped ones degrade if absent
+        dawn_ckpt=args.dawn_ckpt or _resolve_asset(
+            mc.get("diffusion_pretrained_pth"),
+            mc.get("diffusion_pretrained_pth"), "config dawn_ckpt"),
+        lfg_ckpt=args.lfg_ckpt or _resolve_asset(
+            mc.get("ae_pretrained_pth"),
+            mc.get("ae_pretrained_pth"), "config lfg_ckpt"))
     overrides = dict(paths=paths, bucket_frames=args.bucket_frames)
     if args.attn is not None:
         overrides["attn_mode"] = args.attn
     if config is not None:
+        if args.resolution is not None:
+            # an explicit --resolution wins over the config's input_size
+            overrides["resolution"] = args.resolution
         gen = VideoGenerator.from_config(
             config, args.audio_path, args.image_path, args.output_path,
             args.cache_path, **overrides)
     else:
         gen = VideoGenerator(args.audio_path, args.image_path,
                              args.output_path, args.cache_path,
-                             args.resolution, **overrides)
+                             resolution, **overrides)
     gen.run()
 
 

@@ -24,6 +24,7 @@ Legacy pre-1.6 (non-zip) files fall back to torch when available.
 from __future__ import annotations
 
 import io
+import os
 import pickle
 import zipfile
 from collections import OrderedDict
@@ -96,7 +97,14 @@ class _TorchUnpickler(pickle.Unpickler):
             return OrderedDict
         if module == "torch" and name == "Size":
             return tuple
-        if module in ("numpy", "numpy.core.multiarray", "numpy._core.multiarray"):
+        # numpy objects occasionally embedded in checkpoint dicts (scalars,
+        # small arrays). Closed per-name whitelist — NOT the whole module:
+        # numpy's top level exports file-touching callables (save/load/
+        # fromfile) that a crafted pickle could otherwise invoke via REDUCE.
+        if (module in ("numpy.core.multiarray", "numpy._core.multiarray")
+                and name in ("_reconstruct", "scalar")):
+            return super().find_class(module, name)
+        if module == "numpy" and name in ("ndarray", "dtype"):
             return super().find_class(module, name)
         raise pickle.UnpicklingError(
             f"refusing to unpickle global {module}.{name} "
@@ -133,6 +141,10 @@ def load_pth(path: str) -> Any:
     zip-format (torch >= 1.6 — all DAWN released checkpoints) is read
     natively; legacy files fall back to ``torch.load`` when torch exists.
     """
+    if not os.path.exists(path):
+        # zipfile.is_zipfile swallows FileNotFoundError -> a path typo would
+        # otherwise surface as a misleading "no module named torch"
+        raise FileNotFoundError(f"checkpoint not found: {path}")
     if zipfile.is_zipfile(path):
         return load_pth_zip(path)
     import torch  # legacy (pre-1.6) format only

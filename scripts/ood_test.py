@@ -66,18 +66,22 @@ def main():
     from dawn_tpu.pipeline import pose_blink
 
     gen_videos, gen_labels, src_images, real_videos = [], [], [], []
-    video_model = None
+    # models + jitted programs stay resident across (pair, sample) iterations
+    # — a fresh VideoGenerator per iteration would rebuild HuBERT/PBnet and
+    # re-trace every jit (the XLA compile cache only saves the compile)
+    resident = {"_video_model": None, "_hubert": None, "_pbnet": {},
+                "_sampler": None}
+
+    paths = GeneratorPaths(
+        hubert_dir=args.hubert_dir or GeneratorPaths.hubert_dir,
+        pbnet_pose_ckpt=args.pose_ckpt or GeneratorPaths.pbnet_pose_ckpt,
+        pbnet_blink_ckpt=args.blink_ckpt or GeneratorPaths.pbnet_blink_ckpt,
+        dawn_ckpt=args.dawn_ckpt, lfg_ckpt=args.lfg_ckpt)
 
     for i, (image, audio) in enumerate(pairs):
         tag = f"{os.path.splitext(os.path.basename(image))[0]}_" \
               f"{os.path.splitext(os.path.basename(audio))[0]}"
         cache = os.path.join(args.cache, tag)
-
-        paths = GeneratorPaths(
-            hubert_dir=args.hubert_dir or GeneratorPaths.hubert_dir,
-            pbnet_pose_ckpt=args.pose_ckpt or GeneratorPaths.pbnet_pose_ckpt,
-            pbnet_blink_ckpt=args.blink_ckpt or GeneratorPaths.pbnet_blink_ckpt,
-            dawn_ckpt=args.dawn_ckpt, lfg_ckpt=args.lfg_ckpt)
 
         for s_idx in range(args.samples_per_pair):
             print(f"[{i + 1}/{len(pairs)}] {tag} sample {s_idx}")
@@ -87,8 +91,9 @@ def main():
             gen = VideoGenerator(audio, image, outdir, cache,
                                  args.resolution, paths,
                                  seed=args.seed + s_idx)
-            if video_model is not None:
-                gen._video_model = video_model   # models stay resident
+            for k, v in resident.items():
+                if v:
+                    setattr(gen, k, v)
             gen.extract_pose()
             gen.process_audio()
             if args.both_ckpt:
@@ -99,7 +104,7 @@ def main():
             else:
                 gen.generate_pose_blink()
             out = gen.generate_final_video()
-            video_model = gen._video_model
+            resident = {k: getattr(gen, k) for k in resident}
             print(f"  -> {out} ({time.time() - t0:.1f}s)")
 
             if args.metrics:
@@ -116,8 +121,8 @@ def main():
                     real_videos.append(real)
 
     if args.metrics:
-        _emit_metrics(args, video_model, gen_videos, gen_labels, src_images,
-                      real_videos)
+        _emit_metrics(args, resident["_video_model"], gen_videos, gen_labels,
+                      src_images, real_videos)
 
 
 def _load_image(path, size):
@@ -134,6 +139,8 @@ def _load_frames(img_dir, size):
     for f in sorted(os.listdir(img_dir)):
         if f.endswith(".png"):
             bgr = cv2.imread(os.path.join(img_dir, f))
+            if bgr.shape[:2] != (size, size):  # stale frames from a prior
+                bgr = cv2.resize(bgr, (size, size))  # run at another res
             frames.append(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB))
     return np.asarray(frames, np.float32) / 255.0
 

@@ -38,8 +38,10 @@ def test_from_config(tmp_path):
     assert gen.sampling_step == 20
     assert gen.ddim_sampling_eta == 1.0
     assert gen.seed == 1234
-    assert gen.paths.dawn_ckpt == "./pretrain_models/DAWN_256.pth"
-    assert gen.paths.lfg_ckpt == "./pretrain_models/LFG_256_400ep.pth"
+    # yaml-shipped ckpt paths are default-like: absent on this machine ->
+    # resolved to None (assetless fallback) instead of a stage-4 crash
+    assert gen.paths.dawn_ckpt is None
+    assert gen.paths.lfg_ckpt is None
     # overrides win
     gen = VideoGenerator.from_config(
         "configs/dawn_128.yaml", "a.wav", "i.png",
@@ -47,6 +49,28 @@ def test_from_config(tmp_path):
         sampling_step=2, attn_mode="full")
     assert gen.resolution == 128 and gen.sampling_step == 2
     assert gen.attn_mode == "full"
+
+
+def test_explicit_missing_asset_raises(tmp_path):
+    """An explicitly supplied (non-default) missing path must fail loudly,
+    not silently generate garbage from random weights; missing DEFAULT
+    locations still fall back (see _resolve_asset)."""
+    from dawn_tpu.pipeline.generator import _resolve_asset, GeneratorPaths
+
+    with pytest.raises(FileNotFoundError):
+        _resolve_asset(str(tmp_path / "typo.pth.tar"), None, "pbnet-pose")
+    assert _resolve_asset(GeneratorPaths.pbnet_pose_ckpt,
+                          GeneratorPaths.pbnet_pose_ckpt, "pbnet-pose") is None
+    assert _resolve_asset(None, None, "x") is None
+    real = tmp_path / "ok.pth"
+    real.write_bytes(b"")
+    assert _resolve_asset(str(real), None, "x") == str(real)
+
+
+def test_load_pth_missing_file_raises():
+    from dawn_tpu.weights.pth_reader import load_pth
+    with pytest.raises(FileNotFoundError):
+        load_pth("/nonexistent/checkpoint.pth")
 
 
 def test_run_assetless(tmp_path, tiny_hubert):

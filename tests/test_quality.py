@@ -105,6 +105,19 @@ class TestActionToMotionMetrics:
         assert abs(got_div - ref_div) < 1e-6, (got_div, ref_div)
         assert abs(got_mm - ref_mm) < 1e-6, (got_mm, ref_mm)
 
+    def test_multimodality_terminates_with_absent_label(self):
+        """A label id in [0, num_labels) with zero samples must not spin the
+        rejection-sampling loop forever (the reference assumes every class
+        occurs; real eval dumps can have holes)."""
+        from dawn_tpu.evaluate.metrics import diversity_multimodality
+        r = np.random.RandomState(0)
+        acts = r.randn(20, 8)
+        labels = np.array([0] * 10 + [2] * 10)   # label 1 absent
+        div, mm = diversity_multimodality(acts, labels, 3, seed=1,
+                                          diversity_times=20,
+                                          multimodality_times=5)
+        assert np.isfinite(div) and np.isfinite(mm) and mm > 0
+
     def test_recognition_accuracy(self):
         from dawn_tpu.evaluate.metrics import (nearest_centroid_probs,
                                                recognition_accuracy)
