@@ -38,8 +38,12 @@ def maybe_initialize_distributed(coordinator_address: Optional[str] = None,
     """Initialize jax.distributed when multi-process config is present.
 
     Returns True when running multi-process (jax.distributed initialized),
-    False for the plain single-process path. Safe to call twice.
+    False for the plain single-process path. Safe to call twice: an
+    already-initialized runtime short-circuits (jax.distributed.initialize
+    itself raises on a second call).
     """
+    if jax.distributed.is_initialized():
+        return True
     coordinator_address = coordinator_address or os.environ.get(
         "DAWN_COORDINATOR")
     if num_processes is None and "DAWN_NUM_PROCESSES" in os.environ:

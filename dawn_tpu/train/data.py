@@ -46,9 +46,12 @@ HDTF_BAD_VIDEOS = ["WDA_DanKildee_000", "WDA_PatrickLeahy1_000",
 
 def read_block_range(video_dir: str, start: int, end: int) -> np.ndarray:
     """Frames [start, end) across chunk_%04d.npy blocks (get_block_data,
-    datasets_..._lmk.py:149-181)."""
-    b0, b1 = start // BLOCK, end // BLOCK
-    p0, p1 = start % BLOCK, end % BLOCK
+    datasets_..._lmk.py:149-181). The last block index comes from end-1:
+    a range ending exactly on a block boundary (e.g. [0, 25)) must not
+    touch the next chunk, which may not exist."""
+    assert end > start, (start, end)
+    b0, b1 = start // BLOCK, (end - 1) // BLOCK
+    p0, p1 = start - b0 * BLOCK, end - b1 * BLOCK
     paths = [os.path.join(video_dir, f"chunk_{i:04d}.npy") for i in range(b0, b1 + 1)]
     if b0 == b1:
         return np.load(paths[0])[p0:p1]
@@ -56,6 +59,14 @@ def read_block_range(video_dir: str, start: int, end: int) -> np.ndarray:
     parts += [np.load(p) for p in paths[1:-1]]
     parts.append(np.load(paths[-1])[:p1])
     return np.concatenate(parts)
+
+
+def _pad_frames(a: np.ndarray, n: int) -> np.ndarray:
+    """Edge-pad the leading (time) axis of ``a`` up to n frames."""
+    if a.shape[0] >= n:
+        return a
+    pad = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return np.pad(a, pad, mode="edge")
 
 
 class HDTFVideoDataset:
@@ -117,7 +128,10 @@ class HDTFVideoDataset:
         return out
 
     def batches(self, batch_size: int, steps: int) -> Iterator[Dict[str, np.ndarray]]:
-        """Infinite shuffled fixed-shape batches."""
+        """Infinite shuffled fixed-shape batches. Videos shorter than
+        num_frames are edge-padded to the batch shape (same padding the
+        inference pipeline uses for length buckets) — np.stack over ragged
+        samples would crash mid-training otherwise."""
         for _ in range(steps):
             idxs = self.rng.randint(len(self.videos), size=batch_size)
             samples = [self.sample(int(i)) for i in idxs]
@@ -125,7 +139,10 @@ class HDTFVideoDataset:
             for k in samples[0]:
                 if k == "name":
                     continue
-                batch[k] = np.stack([s[k] for s in samples])
+                arrs = [_pad_frames(s[k], self.num_frames)
+                        if s[k].ndim and k != "bbox" else s[k]
+                        for s in samples]
+                batch[k] = np.stack(arrs)
             yield batch
 
 
@@ -188,7 +205,8 @@ class PBnetPoseDataset:
         for _ in range(steps):
             idxs = self.rng.randint(len(self.names), size=batch_size)
             samples = [self.sample(int(i)) for i in idxs]
-            yield {k: np.stack([s[k] for s in samples])
+            yield {k: np.stack([_pad_frames(s[k], self.num_frames)
+                                for s in samples])
                    for k in samples[0] if k != "name"}
 
 

@@ -98,7 +98,8 @@ class DMTrainer:
         self.in_channels = 3 + config.fea_channels + 16
         self.unet = Unet3D(dim=64, channels=self.in_channels,
                            cond_pose=config.pose_dim,
-                           win_width=config.win_width)
+                           win_width=config.win_width,
+                           dtype=config.compute_dtype)
         self.diffusion = GaussianDiffusion(
             timesteps=1000, sampling_timesteps=20,
             loss_type="l2", use_dynamic_thres=True,
@@ -235,12 +236,18 @@ class DMTrainer:
             state["params"], state["frozen"], rng, batch)
 
         # NaN-grad guard on the single flat gradient vector (the reference
-        # skips the optimizer step on the host, _s2.py:326-339)
+        # skips the optimizer step on the host, _s2.py:326-339). The WHOLE
+        # update is rolled back on a non-finite step — including the Adam
+        # moments and schedule count, which zeroed grads alone would still
+        # decay/advance, distorting the first finite step afterwards.
         finite = jnp.isfinite(grads).all()
         grads = jnp.where(finite, grads, jnp.zeros_like(grads))
 
         updates, opt_state = self.tx.update(grads, state["opt_state"], state["params"])
         updates = jnp.where(finite, updates, jnp.zeros_like(updates))
+        opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old),
+            opt_state, state["opt_state"])
         params = state["params"] + updates
         metrics["grads_finite"] = finite.astype(jnp.float32)
         new_state = {**state, "params": params, "opt_state": opt_state,
@@ -319,18 +326,26 @@ class DMTrainer:
         }
 
     def make_sharded_step(self, mesh: Mesh):
-        """jit the step over the mesh: batch over 'data', frames over 'seq'."""
+        """jit the step over the mesh: batch over 'data', frames over 'seq'.
+
+        in_shardings must match the batch pytree exactly, and mouth
+        landmarks are optional (no --lmk-dir), so the jit is built per
+        batch-key-set and cached."""
         rep = NamedSharding(mesh, P())
-        batch_shardings = {
-            "video": NamedSharding(mesh, P("data", "seq")),
-            "hubert": NamedSharding(mesh, P("data", "seq")),
-            "pose": NamedSharding(mesh, P("data", "seq")),
-            "blink": NamedSharding(mesh, P("data", "seq")),
-            "bbox": NamedSharding(mesh, P("data")),
-            "mouth_lmk": NamedSharding(mesh, P("data", "seq")),
+        spec = {
+            "video": P("data", "seq"), "hubert": P("data", "seq"),
+            "pose": P("data", "seq"), "blink": P("data", "seq"),
+            "bbox": P("data"), "mouth_lmk": P("data", "seq"),
         }
-        return jax.jit(
-            self.train_step,
-            in_shardings=(rep, rep, batch_shardings),
-            donate_argnums=(0,),
-        )
+
+        @functools.lru_cache(maxsize=None)
+        def jitted(keys: Tuple[str, ...]):
+            bs = {k: NamedSharding(mesh, spec[k]) for k in keys}
+            return jax.jit(self.train_step,
+                           in_shardings=(rep, rep, bs),
+                           donate_argnums=(0,))
+
+        def step(state, rng, batch):
+            return jitted(tuple(sorted(batch)))(state, rng, batch)
+
+        return step

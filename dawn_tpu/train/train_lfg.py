@@ -7,10 +7,13 @@ with milestone decay per config), LFG/modules/model.py ReconstructionModel
 equivariance-shift and equivariance-affine losses under a random thin-plate-
 spline warp) and config/hdtf128.yaml train_params.
 
-TPU redesign: one jitted SPMD step, batch sharded over 'data'; the cross-
-replica sync-BN of the reference becomes the psum inside SyncBatchNorm
-(blocks.py) when ``sync_bn_axis='data'``; the random TPS transform and its
-jacobian are closed-form (no autograd double-backward like model.py:129).
+TPU redesign: one jitted SPMD step, batch sharded over 'data'. Cross-replica
+sync-BN is AUTOMATIC under jit/GSPMD: the batch is one logical array, so the
+plain BN mean/var over it are global and XLA inserts the collective — exactly
+the reference SyncMaster math with zero code. (SyncBatchNorm's explicit psum
+via ``sync_bn_axis`` exists for pmap/shard_map contexts only.) The random TPS
+transform and its jacobian are closed-form (no autograd double-backward like
+model.py:129).
 """
 
 from __future__ import annotations
@@ -59,14 +62,6 @@ def tps_warp_coordinates(coords: jax.Array, theta: jax.Array,
     return transformed + tps
 
 
-def tps_jacobian(coords: jax.Array, theta, control_points, control_params):
-    """d(warp)/d(coords) via jax.jacfwd-free closed form using autodiff once."""
-    def f(c):
-        return tps_warp_coordinates(c[None], theta, control_points,
-                                    control_params)[0]
-    return jax.vmap(jax.jacfwd(lambda c: f(c[None])[0]))(coords[0])
-
-
 # ---------------------------------------------------------------- trainer
 
 @dataclasses.dataclass
@@ -81,7 +76,13 @@ class LFGTrainConfig:
     sigma_tps: float = 0.005
     points_tps: int = 5
     epoch_milestones: Tuple[int, ...] = (60, 90)
-    sync_bn_axis: Optional[str] = None
+    steps_per_epoch: int = 0  # 0 disables the milestone decay (constant lr)
+    milestone_gamma: float = 0.1
+    sync_bn_axis: Optional[str] = None  # explicit psum axis — ONLY for
+                                        # pmap/shard_map; under plain
+                                        # jit/GSPMD leave None (batch stats
+                                        # are already global, the axis name
+                                        # would be unbound)
 
 
 class LFGTrainer:
@@ -92,7 +93,16 @@ class LFGTrainer:
         self.flow_ae = flow_ae or FlowAE(
             generator_kw=bn, region_kw=bn, bg_kw=bn, flow_kw=bn)
         self.vgg = Vgg19Features()
-        self.tx = optax.adam(config.lr, b1=0.5, b2=0.999)
+        if config.steps_per_epoch and config.epoch_milestones:
+            # torch MultiStepLR(milestones=epoch_milestones, gamma)
+            # (LFG/train.py:59), converted to steps
+            lr = optax.piecewise_constant_schedule(
+                config.lr,
+                {m * config.steps_per_epoch: config.milestone_gamma
+                 for m in config.epoch_milestones})
+        else:
+            lr = config.lr
+        self.tx = optax.adam(lr, b1=0.5, b2=0.999)
 
     def init_state(self, rng: jax.Array, vgg_variables=None) -> Dict[str, Any]:
         cfg = self.config
@@ -128,15 +138,18 @@ class LFGTrainer:
         src, drv = batch["source"], batch["driving"]
         b = src.shape[0]
 
-        variables = {
-            k: {"params": params[k], "batch_stats": batch_stats[k]}
-            for k in params}
-
-        mutables = {}
+        # live copy: each forward reads the PREVIOUS forward's running stats
+        # and persists its own — the region predictor runs three times per
+        # step (src, drv, TPS-transformed) and all three must update the
+        # running mean/var sequentially, exactly like the torch reference's
+        # consecutive forwards (overwriting would keep only the last,
+        # TPS-warped, distribution)
+        mutables = {k: batch_stats[k] for k in params}
 
         def apply_mod(mod, name, *args, method=None):
-            out, mut = mod.apply(variables[name], *args, method=method,
-                                 mutable=["batch_stats"])
+            out, mut = mod.apply(
+                {"params": params[name], "batch_stats": mutables[name]},
+                *args, method=method, mutable=["batch_stats"])
             mutables[name] = mut["batch_stats"]
             return out
 
@@ -144,11 +157,8 @@ class LFGTrainer:
         src_params = apply_mod(fa.region_predictor, "region_predictor", src)
         drv_params = apply_mod(fa.region_predictor, "region_predictor", drv)
         bg = apply_mod(fa.bg_predictor, "bg_predictor", src, drv)
-        motion = fa.flow_predictor.apply(
-            variables["pixelwise_flow_predictor"], src, drv_params, src_params,
-            bg, mutable=["batch_stats"])
-        motion, mut = motion
-        mutables["pixelwise_flow_predictor"] = mut["batch_stats"]
+        motion = apply_mod(fa.flow_predictor, "pixelwise_flow_predictor",
+                           src, drv_params, src_params, bg)
         out = apply_mod(fa.generator, "generator", src, motion)
 
         losses = {"perceptual": self._perceptual(vgg_vars, out["prediction"], drv)}

@@ -91,7 +91,16 @@ def main():
         perceptual_weights=tuple(tp["loss_weights"]["perceptual"]),
         equivariance_shift=tp["loss_weights"]["equivariance_shift"],
         equivariance_affine=tp["loss_weights"]["equivariance_affine"],
-        sync_bn_axis="data" if len(jax.devices()) > 1 else None)
+        # under jit/GSPMD the batch is a single logical array, so plain BN
+        # statistics are already GLOBAL across 'data' shards — XLA inserts
+        # the collective. sync_bn_axis (the explicit psum) is only for
+        # pmap/shard_map contexts; naming an axis under plain jit would
+        # raise "unbound axis name".
+        sync_bn_axis=None,
+        epoch_milestones=tuple(tp.get("epoch_milestones", (60, 90))),
+        steps_per_epoch=max(1, (len(os.listdir(args.frames_dir))
+                                * int(tp.get("num_repeats", 100)))
+                            // max(1, args.batch_size)))
     trainer = LFGTrainer(cfg)
 
     state = trainer.init_state(jax.random.PRNGKey(0))

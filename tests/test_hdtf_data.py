@@ -1,0 +1,118 @@
+"""Chunked-npy HDTF dataset readers (dawn_tpu/train/data.py).
+
+Regression anchors for two real bugs: read_block_range touching a
+nonexistent chunk when the range ends exactly on a 25-frame block boundary,
+and ragged np.stack crashes when a video is shorter than num_frames.
+"""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from dawn_tpu.train.data import (BLOCK, HDTFVideoDataset, PBnetPoseDataset,
+                                 read_block_range, _pad_frames)
+
+
+def _write_chunks(d, total, shape=()):
+    os.makedirs(d, exist_ok=True)
+    vals = np.arange(total, dtype=np.float32)
+    data = vals.reshape((total,) + (1,) * len(shape)) * np.ones((1,) + shape,
+                                                                np.float32)
+    for b in range(-(-total // BLOCK)):
+        np.save(os.path.join(d, f"chunk_{b:04d}.npy"),
+                data[b * BLOCK:(b + 1) * BLOCK])
+    return data
+
+
+class TestReadBlockRange:
+    def test_exact_block_boundary_end(self, tmp_path):
+        """[0, 25) of a 25-frame video: chunk_0001 does not exist and must
+        not be touched."""
+        d = str(tmp_path / "v")
+        data = _write_chunks(d, 25)
+        out = read_block_range(d, 0, 25)
+        assert np.array_equal(out, data)
+
+    def test_spanning_and_interior(self, tmp_path):
+        d = str(tmp_path / "v")
+        data = _write_chunks(d, 60, shape=(3,))
+        assert np.array_equal(read_block_range(d, 24, 26), data[24:26])
+        assert np.array_equal(read_block_range(d, 0, 60), data)
+        assert np.array_equal(read_block_range(d, 30, 50), data[30:50])
+        assert np.array_equal(read_block_range(d, 49, 50), data[49:50])
+
+    def test_empty_range_rejected(self, tmp_path):
+        d = str(tmp_path / "v")
+        _write_chunks(d, 25)
+        with pytest.raises(AssertionError):
+            read_block_range(d, 5, 5)
+
+
+@pytest.fixture()
+def hdtf_root(tmp_path):
+    """Two train videos: 25 frames (boundary case) and 15 frames (shorter
+    than num_frames)."""
+    lengths = {"vid_a": 25, "vid_b": 15}
+    dirs = {}
+    for kind, shape in [("frames", (8, 8, 3)), ("hubert", (1024,)),
+                        ("pose", (7,)), ("eye", (8,))]:
+        root = str(tmp_path / kind)
+        dirs[kind] = root
+        for name, total in lengths.items():
+            _write_chunks(os.path.join(root, name), total, shape)
+    ld = str(tmp_path / "length_dict.pkl")
+    with open(ld, "wb") as f:
+        pickle.dump(lengths, f)
+    return dirs, ld
+
+
+class TestHDTFVideoDataset:
+    def test_batches_fixed_shape_with_short_video(self, hdtf_root):
+        dirs, ld = hdtf_root
+        ds = HDTFVideoDataset(dirs["frames"], dirs["hubert"], dirs["pose"],
+                              dirs["eye"], ld, num_frames=20, seed=0)
+        assert sorted(ds.videos) == ["vid_a", "vid_b"]
+        for batch in ds.batches(batch_size=4, steps=3):
+            assert batch["video"].shape == (4, 20, 8, 8, 3)
+            assert batch["hubert"].shape == (4, 20, 1024)
+            assert batch["pose"].shape == (4, 20, 7)
+            assert batch["blink"].shape == (4, 20, 2)
+            assert batch["bbox"].shape == (4, 6)
+
+    def test_short_video_edge_padded(self, hdtf_root):
+        dirs, ld = hdtf_root
+        ds = HDTFVideoDataset(dirs["frames"], dirs["hubert"], dirs["pose"],
+                              dirs["eye"], ld, num_frames=20, seed=0)
+        i = ds.videos.index("vid_b")
+        s = ds.sample(i)
+        assert s["video"].shape[0] == 15          # sample() stays exact
+        padded = _pad_frames(s["video"], 20)      # batches() pads
+        assert padded.shape[0] == 20
+        assert np.array_equal(padded[15], padded[14])  # edge repeat
+
+
+class TestPBnetPoseDataset:
+    def test_batches_and_normalization(self, tmp_path):
+        lengths = {"vid_a": 120, "vid_b": 40}     # vid_b < num_frames
+        for kind, shape in [("hubert", (1024,)), ("pose", (7,)),
+                            ("eye", (8,))]:
+            for name, total in lengths.items():
+                _write_chunks(str(tmp_path / kind / name), total, shape)
+        ld = str(tmp_path / "length_dict.pkl")
+        with open(ld, "wb") as f:
+            pickle.dump(lengths, f)
+        ds = PBnetPoseDataset(str(tmp_path / "hubert"), str(tmp_path / "pose"),
+                              str(tmp_path / "eye"), ld, num_frames=100,
+                              seed=0)
+        batch = next(iter(ds.batches(batch_size=4, steps=1)))
+        assert batch["hubert"].shape == (4, 100, 1024)
+        assert batch["pose"].shape == (4, 100, 6)
+        assert batch["eye"].shape == (4, 100, 2)
+        # min/max normalization formula (datasets_..._eye_fast.py:62-65)
+        from dawn_tpu.train.data import PBNET_POSE_MAX, PBNET_POSE_MIN
+        raw = ds.cache["vid_a"]["pose"][:1, :6].astype(np.float32)
+        expect = (raw - PBNET_POSE_MIN) / (PBNET_POSE_MAX - PBNET_POSE_MIN)
+        got = ds.normalize_pose(raw)
+        assert np.allclose(got, expect)

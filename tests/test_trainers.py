@@ -63,6 +63,25 @@ class TestDMTrainer:
         assert np.allclose(np.asarray(new_state["ema_params"]), expect,
                            atol=1e-5)
 
+    def test_nan_guard_rolls_back_whole_step(self, dm_setup):
+        """A non-finite-grad step must leave params AND the optimizer state
+        (Adam moments, schedule count) untouched — the reference skips
+        optimizer.step entirely (_s2.py:326-339); decaying the moments with
+        zero grads would distort the first finite step afterwards."""
+        trainer, state, batch = dm_setup
+        # one finite step first so the moments are non-trivial
+        state1, _ = trainer.train_step(state, jax.random.PRNGKey(1), batch)
+        poisoned = dict(batch)
+        poisoned["video"] = batch["video"].at[0, 0, 0, 0, 0].set(jnp.nan)
+        state2, metrics = trainer.train_step(state1, jax.random.PRNGKey(2),
+                                             poisoned)
+        assert float(metrics["grads_finite"]) == 0.0
+        assert np.array_equal(np.asarray(state2["params"]),
+                              np.asarray(state1["params"]))
+        for new, old in zip(jax.tree_util.tree_leaves(state2["opt_state"]),
+                            jax.tree_util.tree_leaves(state1["opt_state"])):
+            assert np.array_equal(np.asarray(new), np.asarray(old))
+
     def test_ema_buffer_not_aliased(self, dm_setup):
         """make_sharded_step donates the state pytree; params and ema must be
         distinct buffers or Execute() rejects the donation ("donate the same
@@ -170,6 +189,16 @@ class TestDMTrainer:
             metrics = jax.device_get(metrics)
         assert np.isfinite(metrics["total"])
         assert float(metrics["grads_finite"]) == 1.0
+
+        # batches WITHOUT mouth landmarks (no --lmk-dir) must also shard:
+        # in_shardings is built per batch-key-set, not hardcoded
+        no_lmk = {k: v for k, v in batch.items() if k != "mouth_lmk"}
+        with mesh:
+            state2 = trainer.init_state(jax.random.PRNGKey(2), num_frames=t)
+            _, metrics2 = step(state2, jax.random.PRNGKey(1), no_lmk)
+            metrics2 = jax.device_get(metrics2)
+        assert np.isfinite(metrics2["total"])
+        assert float(metrics2["mouth_loss"]) == 0.0
 
     def test_snapshot_panels(self, dm_setup):
         trainer, state, batch = dm_setup
