@@ -32,6 +32,25 @@ from dawn_tpu.evaluate.metrics import frechet_distance
 
 # ------------------------------------------------------------- features
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _fea_fn(generator):
+    """Jitted per-frame feature extractor, cached per generator module so
+    repeat metric calls in one process don't re-trace (variables are a jit
+    ARGUMENT, not a closure, so one trace serves every checkpoint)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def fea(variables, x):
+        f = generator.apply(variables, x, method=type(generator).compute_fea)
+        return jnp.concatenate([f.mean(axis=(1, 2)), f.std(axis=(1, 2))], -1)
+
+    return fea
+
+
 def lfg_frame_features(generator, variables, videos: np.ndarray,
                        batch: int = 64) -> np.ndarray:
     """Per-frame LFG-encoder features.
@@ -39,20 +58,15 @@ def lfg_frame_features(generator, variables, videos: np.ndarray,
     videos: (N, T, H, W, 3) float32 in [0, 1]. Returns (N*T, 2*C): spatial
     mean ++ spatial std of the encoder bottleneck per frame.
     """
-    import jax
     import jax.numpy as jnp
 
     n, t = videos.shape[:2]
     frames = videos.reshape((n * t,) + videos.shape[2:])
-
-    @jax.jit
-    def fea(x):
-        f = generator.apply(variables, x, method=type(generator).compute_fea)
-        return jnp.concatenate([f.mean(axis=(1, 2)), f.std(axis=(1, 2))], -1)
+    fea = _fea_fn(generator)
 
     out = []
     for i in range(0, len(frames), batch):
-        out.append(np.asarray(fea(jnp.asarray(frames[i: i + batch]))))
+        out.append(np.asarray(fea(variables, jnp.asarray(frames[i: i + batch]))))
     return np.concatenate(out, axis=0)
 
 
@@ -75,6 +89,16 @@ def fvd_proxy(generator, variables, real: np.ndarray, fake: np.ndarray,
         fr = video_features(fr, real.shape[0])
         ff = video_features(ff, fake.shape[0])
     return frechet_distance(fr, ff)
+
+
+def _fvd_both(generator, variables, real, fake):
+    """Frame- and video-level Frechet from ONE feature extraction."""
+    fr = lfg_frame_features(generator, variables, real)
+    ff = lfg_frame_features(generator, variables, fake)
+    frames = frechet_distance(fr, ff)
+    videos = frechet_distance(video_features(fr, real.shape[0]),
+                              video_features(ff, fake.shape[0]))
+    return frames, videos
 
 
 # ------------------------------------------------------------ lip proxy
@@ -114,13 +138,13 @@ def lip_sync_proxy(gen: np.ndarray, gt: np.ndarray,
     (landmarks 48:67); when None the center-lower-third crop is used (the
     3DDFA-failure fallback region).
     """
-    h = gt.shape[2]
+    h, w = gt.shape[2], gt.shape[3]
     if mouth_lmk is not None:
         mask = mouth_mask_images(mouth_lmk, h)
     else:
         mask = np.zeros(gt.shape[:4] + (1,), np.float32)
         mask[:, :, int(h * 0.55): int(h * 0.85),
-             int(h * 0.3): int(h * 0.7)] = 1.0
+             int(w * 0.3): int(w * 0.7)] = 1.0
     denom = max(float(mask.sum() * 3), 1.0)
     l1 = float((np.abs(gen - gt) * mask).sum() / denom)
     gray_g = gen.mean(-1)
@@ -133,13 +157,16 @@ def lip_sync_proxy(gen: np.ndarray, gt: np.ndarray,
 def evaluate_quality(generator, variables, real: np.ndarray, fake: np.ndarray,
                      mouth_lmk: Optional[np.ndarray] = None) -> Dict[str, float]:
     """The full quality report for a set of (real, generated) videos."""
+    if real.shape[0] >= 2:
+        frames_fd, videos_fd = _fvd_both(generator, variables, real, fake)
+    else:
+        frames_fd, videos_fd = fvd_proxy(generator, variables, real, fake), None
     out = {
-        "fvd_lfg_frames": fvd_proxy(generator, variables, real, fake),
+        "fvd_lfg_frames": frames_fd,
         "l1": float(np.abs(fake - real).mean()),
     }
-    if real.shape[0] >= 2:
-        out["fvd_lfg_videos"] = fvd_proxy(generator, variables, real, fake,
-                                          per_video=True)
+    if videos_fd is not None:
+        out["fvd_lfg_videos"] = videos_fd
     out.update(lip_sync_proxy(fake, real, mouth_lmk))
     return out
 

@@ -6,6 +6,15 @@ Capability parity with unified_video_generator.py:202-250 (process_audio) and
 check/pad, and linear interpolation to the 25 fps frame count. The ffmpeg
 resample subprocess is replaced by scipy polyphase resampling (no external
 binary needed); the torch HuBERT forward by the jitted flax model.
+
+Compile-shape note: full clips are a constant 320 080 samples (one compiled
+program), but the TAIL chunk's length varies per wav, so each distinct tail
+length compiles once (amortized across runs by the persistent compile
+cache). Padding the tail to a bucket and trimming output frames would NOT
+be exact: HuBERT's convolutional positional embedding (kernel 128 over the
+frame axis) lets padded frames bleed into the last ~64 real frames, and the
+zero-mean/unit-var normalization is over the whole chunk — parity with the
+reference (tests/test_parity_hubert.py) wins over the extra compile.
 """
 
 from __future__ import annotations

@@ -164,8 +164,27 @@ def extract_init_states(image_path: str,
     if len(boxes) == 0:
         raise ValueError(f"no face detected in {image_path}")
 
+    # the mb1 onnx emits Z-SCORED params; the reference denormalizes with the
+    # shipped mean/std pickle (TDDFA_ONNX.py:56-71,100) — without it the pose
+    # decomposition downstream is garbage, so its absence is an error
+    import pickle
+    for cand in (os.path.join(assets_dir, "param_mean_std_62d_120x120.pkl"),
+                 os.path.join(assets_dir, "configs",
+                              "param_mean_std_62d_120x120.pkl")):
+        if os.path.exists(cand):
+            with open(cand, "rb") as f:
+                ms = pickle.load(f)
+            param_mean = np.asarray(ms.get("mean"), np.float32)
+            param_std = np.asarray(ms.get("std"), np.float32)
+            break
+    else:
+        raise FileNotFoundError(
+            f"param_mean_std_62d_120x120.pkl not found under {assets_dir} "
+            f"(required to denormalize the 62-d regression output)")
+
     params, rois = regress_3dmm(
-        img, boxes[:1], lambda x: td.run(None, {td.get_inputs()[0].name: x})[0])
+        img, boxes[:1], lambda x: td.run(None, {td.get_inputs()[0].name: x})[0],
+        param_mean=param_mean, param_std=param_std)
 
     # dense reconstruction through the BFM onnx graph (TDDFA_ONNX.py:105-125)
     from dawn_tpu.models.face3d.bfm import parse_param_62, similar_transform

@@ -102,26 +102,44 @@ def draw_landmarks(img: np.ndarray, ver: np.ndarray, color=(0, 255, 0),
 
 def render_depth(vertices: np.ndarray, triangles: np.ndarray,
                  h: int, w: int) -> np.ndarray:
-    """Z-buffer depth image (utils/depth.py equivalent): per-pixel nearest
-    vertex z, normalized to [0,1]. vertices: (3, N) image coords; triangles:
-    (M, 3). Vectorized painter's algorithm over triangles sorted by depth."""
+    """Z-buffer depth image (utils/depth.py equivalent): barycentric-
+    interpolated per-pixel z, normalized to [0,1], 0 where uncovered.
+    vertices: (3, N) image coords; triangles: (M, 3). Uses the native
+    rasterizer (runtime/src/render.cpp::dawn_render_depth); numpy
+    barycentric fallback when the library is unavailable."""
+    from dawn_tpu.runtime import native
+
+    lib = native.load()
+    if lib is not None:
+        return native.render_depth(lib, np.ascontiguousarray(vertices.T),
+                                   triangles, h, w)
+
     depth = np.zeros((h, w), np.float32)
-    v = vertices
+    zbuf = np.full((h, w), -np.inf, np.float32)
+    v = vertices.astype(np.float32)
     z = v[2]
     zmin, zmax = z.min(), z.max()
     znorm = (z - zmin) / max(zmax - zmin, 1e-8)
-    tz = znorm[triangles].mean(1)
-    order = np.argsort(tz)                 # far-to-near painter's fill
-    for ti in order:
-        tri = triangles[ti]
-        xs, ys = v[0, tri], v[1, tri]
-        x0, x1 = int(np.floor(xs.min())), int(np.ceil(xs.max()))
-        y0, y1 = int(np.floor(ys.min())), int(np.ceil(ys.max()))
-        x0, y0 = max(x0, 0), max(y0, 0)
-        x1, y1 = min(x1, w - 1), min(y1, h - 1)
+    for tri in triangles:
+        xs, ys, zs = v[0, tri], v[1, tri], znorm[tri]
+        x0, x1 = max(int(np.ceil(xs.min())), 0), min(int(np.floor(xs.max())), w - 1)
+        y0, y1 = max(int(np.ceil(ys.min())), 0), min(int(np.floor(ys.max())), h - 1)
         if x1 < x0 or y1 < y0:
             continue
-        depth[y0:y1 + 1, x0:x1 + 1] = znorm[tri].mean()
+        denom = ((ys[1] - ys[2]) * (xs[0] - xs[2])
+                 + (xs[2] - xs[1]) * (ys[0] - ys[2]))
+        if abs(denom) < 1e-12:
+            continue
+        gy, gx = np.mgrid[y0:y1 + 1, x0:x1 + 1]
+        b0 = ((ys[1] - ys[2]) * (gx - xs[2]) + (xs[2] - xs[1]) * (gy - ys[2])) / denom
+        b1 = ((ys[2] - ys[0]) * (gx - xs[2]) + (xs[0] - xs[2]) * (gy - ys[2])) / denom
+        b2 = 1.0 - b0 - b1
+        inside = (b0 >= 0) & (b1 >= 0) & (b2 >= 0)
+        zpix = b0 * zs[0] + b1 * zs[1] + b2 * zs[2]
+        win_z = zbuf[y0:y1 + 1, x0:x1 + 1]
+        upd = inside & (zpix > win_z)
+        win_z[upd] = zpix[upd]
+        depth[y0:y1 + 1, x0:x1 + 1][upd] = zpix[upd]
     return depth
 
 

@@ -22,12 +22,20 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
-# pose normalization constants (unified_video_generator.py:95-98)
-POSE_MAX = np.array([90, 90, 90, 1, 720, 1080], np.float32)
-POSE_MIN = np.array([-90, -90, -90, 0, 0, 0], np.float32)
-# 3DDFA-failure fallbacks (:275-278, :338-341)
-DEFAULT_POSE = np.array([[0, 0, 0, 4.79e-04, 5.65e+01, 6.49e+01, 0.0]], np.float32)
-DEFAULT_EYE_BBOX = np.array([[0.3, 0.3, 64, 64, 192, 192, 256, 256]], np.float32)
+# pose normalization constants (unified_video_generator.py:95-98) — single
+# source of truth is pose_blink's 8-d set (tvae_eval:20-23); these are its
+# documented slices so the two entry points cannot drift apart
+from dawn_tpu.pipeline.pose_blink import (DEFAULT_BLINK_2, DEFAULT_POSE_6,
+                                          MAX_VALS_8, MIN_VALS_8)
+
+POSE_MAX, POSE_MIN = MAX_VALS_8[:6], MIN_VALS_8[:6]
+# 3DDFA-failure fallbacks (:275-278, :338-341): 7-d pose = 6-d + trailing 0,
+# 8-d eye_bbox = blink(2) ++ default face box [x0, x1, y0, y1, H, W]
+DEFAULT_POSE = np.concatenate(
+    [DEFAULT_POSE_6, np.zeros((1, 1), np.float32)], axis=1)
+DEFAULT_EYE_BBOX = np.concatenate(
+    [DEFAULT_BLINK_2,
+     np.array([[64, 64, 192, 192, 256, 256]], np.float32)], axis=1)
 
 
 def inv_transform(x: np.ndarray, min_vals: np.ndarray, max_vals: np.ndarray):
@@ -77,7 +85,7 @@ class VideoGenerator:
 
     def __init__(self, audio_path: str, image_path: str, output_path: str,
                  cache_path: str, resolution: int = 128,
-                 paths: GeneratorPaths = GeneratorPaths(),
+                 paths: Optional[GeneratorPaths] = None,
                  max_n_frames: int = 200, win_width: int = 40,
                  sampling_step: int = 20, ddim_sampling_eta: float = 1.0,
                  cond_scale: float = 1.0, attn_mode: str = "local",
@@ -87,7 +95,9 @@ class VideoGenerator:
         self.output_path = output_path
         self.cache_path = cache_path
         self.resolution = resolution
-        self.paths = paths
+        # fresh instance per generator — a shared mutable default would leak
+        # one caller's path mutations into every later default construction
+        self.paths = paths if paths is not None else GeneratorPaths()
         self.max_n_frames = max_n_frames
         self.win_width = win_width
         self.sampling_step = sampling_step
@@ -118,25 +128,35 @@ class VideoGenerator:
 
     @classmethod
     def from_config(cls, config_path: str, audio_path: str, image_path: str,
-                    output_path: str, cache_path: str, **overrides):
+                    output_path: str, cache_path: str,
+                    paths_override: Optional[Dict[str, str]] = None,
+                    **overrides):
         """Build from a reference-style DAWN yaml (config/DAWN_{128,256}.yaml
         keys: input_size, max_n_frames, win_width, sampling_step,
         ddim_sampling_eta, cond_scale, random_seed, model_config ckpt paths
-        — unified_video_generator.py:119-129). kwargs override the yaml."""
+        — unified_video_generator.py:119-129). kwargs override the yaml;
+        ``paths_override`` replaces individual GeneratorPaths fields
+        (explicit paths, strict) while unset ones keep the yaml/default
+        resolution."""
         import yaml
         with open(config_path) as f:
             cfg = yaml.safe_load(f) or {}
         mc = cfg.get("model_config") or {}
         # yaml-shipped checkpoint locations are default-like: when absent on
         # this machine, degrade to the assetless fallback instead of raising
-        # (pass `paths` explicitly to demand specific checkpoints)
-        paths = overrides.pop("paths", None) or GeneratorPaths(
-            dawn_ckpt=_resolve_asset(mc.get("diffusion_pretrained_pth"),
-                                     mc.get("diffusion_pretrained_pth"),
-                                     "config dawn_ckpt"),
-            lfg_ckpt=_resolve_asset(mc.get("ae_pretrained_pth"),
-                                    mc.get("ae_pretrained_pth"),
-                                    "config lfg_ckpt"))
+        # (pass `paths`/`paths_override` to demand specific checkpoints)
+        paths = overrides.pop("paths", None)
+        if paths is None:
+            fields = dict(
+                dawn_ckpt=_resolve_asset(mc.get("diffusion_pretrained_pth"),
+                                         mc.get("diffusion_pretrained_pth"),
+                                         "config dawn_ckpt"),
+                lfg_ckpt=_resolve_asset(mc.get("ae_pretrained_pth"),
+                                        mc.get("ae_pretrained_pth"),
+                                        "config lfg_ckpt"))
+            fields.update({k: v for k, v in (paths_override or {}).items()
+                           if v})
+            paths = GeneratorPaths(**fields)
         kw = dict(resolution=cfg.get("input_size", 128),
                   max_n_frames=cfg.get("max_n_frames", 200),
                   win_width=cfg.get("win_width", 40),
@@ -382,9 +402,14 @@ class VideoGenerator:
         import subprocess
         if shutil.which("ffmpeg") is None:
             return False
+        # the reference appends '-shortest' AFTER the output file
+        # (unified:567-586) — old ffmpeg ignores trailing options with a
+        # warning, ffmpeg >= 7 hard-errors. The effective reference command
+        # therefore never applied it; '-t' below already bounds duration, so
+        # it is dropped here rather than replicated.
         cmd = ["ffmpeg", "-y", "-i", self.audio_path, "-i", video_path,
                "-vcodec", "copy", "-t", f"{num_frames / 25.0:.3f}",
-               "-pix_fmt", "yuv420p", out_path, "-shortest"]
+               "-pix_fmt", "yuv420p", out_path]
         return subprocess.run(cmd, capture_output=True).returncode == 0
 
     # -------------------------------------------------------------- driver
@@ -435,24 +460,14 @@ def main(argv=None):
     if config is None:
         default_cfg = os.path.join("configs", f"dawn_{resolution}.yaml")
         config = default_cfg if os.path.exists(default_cfg) else None
-    if config is not None:
-        import yaml
-        with open(config) as f:
-            mc = (yaml.safe_load(f) or {}).get("model_config") or {}
-    else:
-        mc = {}
-    paths = GeneratorPaths(
-        hubert_dir=args.hubert_dir or GeneratorPaths.hubert_dir,
-        pbnet_pose_ckpt=args.pbnet_pose_ckpt or GeneratorPaths.pbnet_pose_ckpt,
-        pbnet_blink_ckpt=args.pbnet_blink_ckpt or GeneratorPaths.pbnet_blink_ckpt,
-        # explicit CLI paths stay strict; yaml-shipped ones degrade if absent
-        dawn_ckpt=args.dawn_ckpt or _resolve_asset(
-            mc.get("diffusion_pretrained_pth"),
-            mc.get("diffusion_pretrained_pth"), "config dawn_ckpt"),
-        lfg_ckpt=args.lfg_ckpt or _resolve_asset(
-            mc.get("ae_pretrained_pth"),
-            mc.get("ae_pretrained_pth"), "config lfg_ckpt"))
-    overrides = dict(paths=paths, bucket_frames=args.bucket_frames)
+    # explicit CLI paths (strict: a typo raises); unset fields fall through
+    # to the yaml's model_config / GeneratorPaths defaults
+    user_paths = {k: v for k, v in dict(
+        hubert_dir=args.hubert_dir,
+        pbnet_pose_ckpt=args.pbnet_pose_ckpt,
+        pbnet_blink_ckpt=args.pbnet_blink_ckpt,
+        dawn_ckpt=args.dawn_ckpt, lfg_ckpt=args.lfg_ckpt).items() if v}
+    overrides = dict(bucket_frames=args.bucket_frames)
     if args.attn is not None:
         overrides["attn_mode"] = args.attn
     if config is not None:
@@ -461,11 +476,11 @@ def main(argv=None):
             overrides["resolution"] = args.resolution
         gen = VideoGenerator.from_config(
             config, args.audio_path, args.image_path, args.output_path,
-            args.cache_path, **overrides)
+            args.cache_path, paths_override=user_paths, **overrides)
     else:
         gen = VideoGenerator(args.audio_path, args.image_path,
-                             args.output_path, args.cache_path,
-                             resolution, **overrides)
+                             args.output_path, args.cache_path, resolution,
+                             paths=GeneratorPaths(**user_paths), **overrides)
     gen.run()
 
 

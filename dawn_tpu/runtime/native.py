@@ -49,6 +49,7 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
     lib.dawn_nms.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
                              ctypes.c_float, ctypes.POINTER(ctypes.c_int64)]
     lib.dawn_render_mesh.restype = None
+    lib.dawn_render_depth.restype = None
     lib.dawn_npy_read.restype = ctypes.c_int64
     lib.dawn_prefetch_create.restype = ctypes.c_void_p
     lib.dawn_prefetch_next.restype = ctypes.c_int64
@@ -84,6 +85,23 @@ def render_mesh(lib: ctypes.CDLL, vertices: np.ndarray, triangles: np.ndarray,
         light.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ctypes.c_float(ambient), ctypes.c_float(diffuse))
     return image
+
+
+def render_depth(lib: ctypes.CDLL, vertices: np.ndarray,
+                 triangles: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Barycentric z-buffered depth map: (H, W) float32, z normalized to
+    [0, 1] where the mesh covers, 0 elsewhere (reference utils/depth.py)."""
+    vertices = np.ascontiguousarray(vertices, dtype=np.float32)
+    triangles = np.ascontiguousarray(triangles, dtype=np.int32)
+    out = np.empty((h, w), dtype=np.float32)
+    lib.dawn_render_depth(
+        vertices.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int(vertices.shape[0]),
+        triangles.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int(triangles.shape[0]),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int(h), ctypes.c_int(w))
+    return out
 
 
 class NpyPrefetcher:

@@ -8,6 +8,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <vector>
 
 namespace {
@@ -93,6 +94,53 @@ void dawn_render_mesh(const float* vertices, int32_t nver,
         px[0] = std::min(1.f, px[0] * s);
         px[1] = std::min(1.f, px[1] * s);
         px[2] = std::min(1.f, px[2] * s);
+      }
+    }
+  }
+}
+
+// Per-pixel z-buffered DEPTH rasterization (reference utils/depth.py
+// semantics: per-vertex scalar = z, barycentric-interpolated where the mesh
+// covers). vertices: (nver, 3); out: (h, w) float32, 0 where uncovered.
+void dawn_render_depth(const float* vertices, int32_t nver,
+                       const int32_t* triangles, int32_t ntri,
+                       float* out, int32_t h, int32_t w) {
+  std::vector<float> zbuf(static_cast<size_t>(h) * w,
+                          -std::numeric_limits<float>::infinity());
+  float zmin = std::numeric_limits<float>::infinity();
+  float zmax = -std::numeric_limits<float>::infinity();
+  for (int32_t v = 0; v < nver; ++v) {
+    zmin = std::min(zmin, vertices[v * 3 + 2]);
+    zmax = std::max(zmax, vertices[v * 3 + 2]);
+  }
+  const float zrange = std::max(zmax - zmin, 1e-8f);
+  std::memset(out, 0, sizeof(float) * static_cast<size_t>(h) * w);
+  for (int32_t t = 0; t < ntri; ++t) {
+    const int32_t* tri = triangles + t * 3;
+    const float* v0 = vertices + tri[0] * 3;
+    const float* v1 = vertices + tri[1] * 3;
+    const float* v2 = vertices + tri[2] * 3;
+    int x0 = std::max(0, (int)std::ceil(std::min({v0[0], v1[0], v2[0]})));
+    int x1 = std::min(w - 1, (int)std::floor(std::max({v0[0], v1[0], v2[0]})));
+    int y0 = std::max(0, (int)std::ceil(std::min({v0[1], v1[1], v2[1]})));
+    int y1 = std::min(h - 1, (int)std::floor(std::max({v0[1], v1[1], v2[1]})));
+    if (x0 > x1 || y0 > y1) continue;
+    float denom = (v1[1] - v2[1]) * (v0[0] - v2[0]) +
+                  (v2[0] - v1[0]) * (v0[1] - v2[1]);
+    if (std::fabs(denom) < 1e-12f) continue;
+    for (int y = y0; y <= y1; ++y) {
+      for (int x = x0; x <= x1; ++x) {
+        float b0 = ((v1[1] - v2[1]) * (x - v2[0]) +
+                    (v2[0] - v1[0]) * (y - v2[1])) / denom;
+        float b1 = ((v2[1] - v0[1]) * (x - v2[0]) +
+                    (v0[0] - v2[0]) * (y - v2[1])) / denom;
+        float b2 = 1.f - b0 - b1;
+        if (b0 < 0 || b1 < 0 || b2 < 0) continue;
+        float z = b0 * v0[2] + b1 * v1[2] + b2 * v2[2];
+        size_t idx = static_cast<size_t>(y) * w + x;
+        if (z <= zbuf[idx]) continue;
+        zbuf[idx] = z;
+        out[idx] = (z - zmin) / zrange;
       }
     }
   }

@@ -51,6 +51,25 @@ class TestFaceViz:
         assert depth.max() <= 1.0 and depth.min() >= 0.0
         assert (depth > 0).any()
 
+    def test_render_depth_barycentric(self, monkeypatch):
+        """Per-pixel INTERPOLATED z (not a per-triangle constant), pixels
+        outside the triangle untouched, and native == numpy fallback up to
+        f32-vs-f64 edge-pixel rounding."""
+        from dawn_tpu.runtime import native as nat
+        verts = np.array([[2, 2, 0.0], [12, 2, 1.0], [2, 12, 2.0]],
+                         np.float32)   # (N, 3); z spans the triangle
+        tris = np.array([[0, 1, 2]], np.int32)
+        d = face_viz.render_depth(verts.T, tris, 16, 16)
+        assert d[15, 15] == 0.0                   # bbox corner NOT stamped
+        assert 0 < d[3, 3] < d[3, 8]              # z grows toward vertex 1
+        assert d[3, 3] < d[10, 3]                 # ...and toward vertex 2
+        if nat.load() is not None:
+            monkeypatch.setattr(nat, "load", lambda *a, **k: None)
+            d2 = face_viz.render_depth(verts.T, tris, 16, 16)
+            both = (d > 0) & (d2 > 0)
+            assert np.abs(d - d2)[both].max() < 1e-5
+            assert ((d > 0) != (d2 > 0)).sum() <= 4   # edge-pixel rounding
+
     def test_render_mesh_overlay_native(self):
         from dawn_tpu.runtime import native
         if native.load() is None:
