@@ -57,6 +57,9 @@ def fourier_filter_2d(fea: jax.Array) -> jax.Array:
     rescaled by x3 and clipped to [0, 1].
     """
     l, h, w, c = fea.shape
+    # the gaussian map is (H, H), exactly like the reference
+    # (filter_fourier.py builds it from the H axis only) — square frames only
+    assert h == w, f"fourier_filter_2d is square-only (got {h}x{w})"
     xs = np.linspace(-10, 10, h)
     gm = np.outer(_gaussian_pdf(xs, 0.0, 3.0), _gaussian_pdf(xs, 0.0, 3.0))
     gm = np.clip(gm / gm.max() * 3, 0, 1).astype(np.float32)

@@ -94,7 +94,9 @@ def local_attention_banded(q: jax.Array, k: jax.Array, v: jax.Array,
     scores = scores - jax.lax.stop_gradient(scores.max(axis=-1, keepdims=True))
     attn = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("nhbij,nhbjd->nhbid", attn, stripes_v)
-    return out.reshape(n, h, t_pad, d)[:, :, :t]
+    # f32 bias/softmax promote bf16 inputs; return the input dtype so the
+    # rows-based dispatch (banded vs Pallas) is dtype-transparent
+    return out.reshape(n, h, t_pad, d)[:, :, :t].astype(q.dtype)
 
 
 def _tile_bias(heads: int, bq: int, window: int,
@@ -362,8 +364,10 @@ def local_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
     while n % g != 0:
         g //= 2
     # heads per 128-lane block (Mosaic lane-divisibility); fall back to the
-    # whole head axis when it doesn't split into 128-lane groups
-    hb = 128 // dh if dh <= 128 and (heads * dh) % 128 == 0 \
+    # whole head axis when it doesn't split into EXACT 128-lane groups
+    # (dh must divide 128, or hb*dh != 128 and the BlockSpec mis-tiles)
+    hb = 128 // dh if dh <= 128 and 128 % dh == 0 \
+        and (heads * dh) % 128 == 0 \
         and heads % max(1, 128 // dh) == 0 else heads
 
     def prep(x, tpad):

@@ -4,7 +4,7 @@
 DAWN dynamic-thresholding tensor at 256^2/200f (2.46M elements), i.e. ~1 s of
 every sampled video (ca_multi_test.py:1185-1196 calls torch.quantile every
 DDIM step). For non-negative floats the IEEE-754 bit pattern is monotonic in
-value, so the k-th order statistic can be found EXACTLY with a 32-step binary
+value, so the k-th order statistic can be found EXACTLY with a 31-step binary
 search over the bit space, each step one fused compare+count pass (HBM-bound,
 ~10 MB/pass here) instead of an O(n log n) sort.
 

@@ -72,7 +72,10 @@ def grid_sample(img: jax.Array, grid: jax.Array,
                 valid = (ix >= 0) & (ix <= w - 1) & (iy >= 0) & (iy <= h - 1)
                 wgt = wgt * valid.astype(img.dtype)
             out = out + vals * wgt[..., None]
-    return out.reshape(n, ho, wo, c)
+    # an f32 grid over a bf16 image promotes the accumulate; torch's
+    # grid_sample returns the INPUT dtype — match it (accumulating at the
+    # wider dtype first is strictly more accurate)
+    return out.reshape(n, ho, wo, c).astype(img.dtype)
 
 
 def grid_sample_shared(img: jax.Array, grid: jax.Array,

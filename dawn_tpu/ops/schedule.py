@@ -50,8 +50,21 @@ def diffusion_buffers(timesteps: int = 1000) -> Dict[str, np.ndarray]:
 def ddim_times(total_timesteps: int, sampling_timesteps: int):
     """DDIM (time, time_next) pairs, matching ca_multi_test.py:1162-1164.
 
-    torch.linspace(0, T, steps=S+2)[:-1] -> int -> reversed -> consecutive pairs.
+    torch.linspace(0, T, steps=S+2)[:-1] -> int -> reversed -> consecutive
+    pairs. torch computes the linspace in float32 with its own SIMD fill
+    order, and int-truncation amplifies half-ulp differences into off-by-one
+    TIMESTEP INDICES for some step counts (e.g. S=25 at T=1000: 500 vs 499).
+    When torch is importable we therefore defer to it (bit-exact for every
+    S); the torch-free fallback is float64 linspace, which agrees with torch
+    at the shipped configs (S=20, and the S=T p_sample_loop grid) but can
+    differ by one index at unusual S values.
     """
-    times = np.linspace(0.0, total_timesteps, sampling_timesteps + 2)[:-1]
-    times = list(reversed(times.astype(np.int64).tolist()))
+    try:
+        import torch
+        times = torch.linspace(0.0, float(total_timesteps),
+                               steps=sampling_timesteps + 2)[:-1]
+        times = list(reversed([int(v) for v in times.tolist()]))
+    except ImportError:
+        times_np = np.linspace(0.0, total_timesteps, sampling_timesteps + 2)[:-1]
+        times = list(reversed(times_np.astype(np.int64).tolist()))
     return list(zip(times[:-1], times[1:]))

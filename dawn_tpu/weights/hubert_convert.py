@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping
+from typing import Any, Dict, Mapping, Tuple
 
 import numpy as np
 import jax.numpy as jnp
@@ -74,9 +74,10 @@ def convert_hubert(sd: Mapping[str, Any],
     return {"params": p}
 
 
-def convert_hubert_pretrained(model_dir: str) -> Dict[str, Any]:
-    """Load an HF hubert checkpoint directory via transformers (torch) and
-    convert. Requires the local model dir (e.g. hubert-large-ls960-ft)."""
+def convert_hubert_pretrained(model_dir: str) -> Tuple[Dict[str, Any], "HubertConfig"]:
+    """Load an HF hubert checkpoint directory via transformers (torch),
+    convert, and return (variables, config). Requires the local model dir
+    (e.g. hubert-large-ls960-ft)."""
     from transformers import HubertModel as TorchHubert
     tm = TorchHubert.from_pretrained(model_dir)
     cfg = HubertConfig(

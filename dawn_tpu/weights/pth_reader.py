@@ -122,17 +122,18 @@ class _TorchUnpickler(pickle.Unpickler):
 
 def load_pth_zip(path: str) -> Any:
     """Load a torch>=1.6 zip-format checkpoint into numpy arrays."""
-    zf = zipfile.ZipFile(path)
-    names = zf.namelist()
-    pkl_name = next(n for n in names if n.endswith("/data.pkl") or n == "data.pkl")
-    prefix = pkl_name[: -len("data.pkl")]
+    with zipfile.ZipFile(path) as zf:
+        names = zf.namelist()
+        pkl_name = next(n for n in names
+                        if n.endswith("/data.pkl") or n == "data.pkl")
+        prefix = pkl_name[: -len("data.pkl")]
 
-    def read_storage(key: str, dtype: np.dtype, numel: int) -> np.ndarray:
-        raw = zf.read(f"{prefix}data/{key}")
-        return np.frombuffer(raw, dtype=dtype, count=numel)
+        def read_storage(key: str, dtype: np.dtype, numel: int) -> np.ndarray:
+            raw = zf.read(f"{prefix}data/{key}")
+            return np.frombuffer(raw, dtype=dtype, count=numel)
 
-    up = _TorchUnpickler(io.BytesIO(zf.read(pkl_name)), read_storage)
-    return up.load()
+        up = _TorchUnpickler(io.BytesIO(zf.read(pkl_name)), read_storage)
+        return up.load()
 
 
 def load_pth(path: str) -> Any:

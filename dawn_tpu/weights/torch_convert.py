@@ -151,7 +151,7 @@ def convert_unet3d(sd: Mapping[str, Any], num_levels: int = 4,
     def k(name):
         return f"{prefix}{name}"
 
-    sd = {key: val for key, val in sd.items()}
+    
     p: Dict[str, Any] = {
         "time_rel_pos_bias": jnp.asarray(
             _np(sd[k("time_rel_pos_bias.relative_attention_bias.weight")])),

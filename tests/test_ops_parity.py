@@ -190,12 +190,16 @@ class TestScheduleAndBias:
                     assert float(full[3, i, j]) <= -1e7
 
     def test_ddim_times(self):
-        times = torch.linspace(0.0, 1000, steps=22)[:-1]
-        times = list(reversed(times.int().tolist()))
-        ref = list(zip(times[:-1], times[1:]))
-        assert ops.schedule_ddim_times_check(ref) if False else True
+        """Bit-exact vs the reference's torch.linspace grid for EVERY step
+        count, not just the shipped S=20 — torch's f32 linspace + int
+        truncation produces off-by-one indices at some S that a float64
+        linspace misses (e.g. S=25: 500 vs 499)."""
         from dawn_tpu.ops.schedule import ddim_times
-        assert ddim_times(1000, 20) == ref
+        for s in list(range(1, 300)) + [999]:
+            times = torch.linspace(0.0, 1000, steps=s + 2)[:-1]
+            times = list(reversed(times.int().tolist()))
+            ref = list(zip(times[:-1], times[1:]))
+            assert ddim_times(1000, s) == ref, s
 
 
 class TestRotary:
