@@ -48,32 +48,44 @@ def soft_nms_numpy(dets: np.ndarray, sigma: float = 0.5, nt: float = 0.3,
                    threshold: float = 0.001, method: int = 1) -> np.ndarray:
     """Soft-NMS (linear method=1 / gaussian method=2 / hard otherwise).
 
-    Mirrors cpu_soft_nms (cpu_nms.pyx:70-163); returns kept row indices into
-    the (mutated-in-place score) dets copy.
+    Exactly cpu_soft_nms (cpu_nms.pyx:70-163) including the in-loop pruning:
+    a box decayed below ``threshold`` is swapped out and stops suppressing
+    later boxes (a batch variant that keeps decaying with dead boxes keeps
+    suppressing faces the reference would retain). The reference returns
+    range(N) into its in-place-mutated array; here the original row indices
+    of the kept boxes are returned instead (selection order), which is the
+    same set of boxes but usable against the caller's ORIGINAL ``dets``.
     """
-    dets = dets.copy()
-    n = dets.shape[0]
-    for i in range(n):
-        max_pos = i + int(np.argmax(dets[i:, 4]))
-        dets[[i, max_pos]] = dets[[max_pos, i]]
-        tx1, ty1, tx2, ty2, _ = dets[i]
-        area_i = (tx2 - tx1 + 1) * (ty2 - ty1 + 1)
-        rest = dets[i + 1:]
-        if rest.size == 0:
-            break
-        xx1 = np.maximum(tx1, rest[:, 0])
-        yy1 = np.maximum(ty1, rest[:, 1])
-        xx2 = np.minimum(tx2, rest[:, 2])
-        yy2 = np.minimum(ty2, rest[:, 3])
-        w = np.maximum(0.0, xx2 - xx1 + 1)
-        h = np.maximum(0.0, yy2 - yy1 + 1)
-        areas = (rest[:, 2] - rest[:, 0] + 1) * (rest[:, 3] - rest[:, 1] + 1)
-        ov = (w * h) / (area_i + areas - w * h)
-        if method == 1:       # linear
-            weight = np.where(ov > nt, 1 - ov, 1.0)
-        elif method == 2:     # gaussian
-            weight = np.exp(-(ov * ov) / sigma)
-        else:                 # original hard
-            weight = np.where(ov > nt, 0.0, 1.0)
-        rest[:, 4] *= weight
-    return np.where(dets[:, 4] > threshold)[0]
+    boxes = dets.astype(np.float32, copy=True)
+    idx = np.arange(boxes.shape[0])
+    n = boxes.shape[0]
+    i = 0
+    while i < n:
+        maxpos = i + int(np.argmax(boxes[i:n, 4]))
+        boxes[[i, maxpos]] = boxes[[maxpos, i]]
+        idx[[i, maxpos]] = idx[[maxpos, i]]
+        tx1, ty1, tx2, ty2 = boxes[i, :4]
+        pos = i + 1
+        while pos < n:
+            x1, y1, x2, y2 = boxes[pos, :4]
+            iw = min(tx2, x2) - max(tx1, x1) + 1
+            ih = min(ty2, y2) - max(ty1, y1) + 1
+            if iw > 0 and ih > 0:
+                area = (x2 - x1 + 1) * (y2 - y1 + 1)
+                ua = (tx2 - tx1 + 1) * (ty2 - ty1 + 1) + area - iw * ih
+                ov = iw * ih / ua
+                if method == 1:        # linear
+                    weight = 1.0 - ov if ov > nt else 1.0
+                elif method == 2:      # gaussian
+                    weight = float(np.exp(-(ov * ov) / sigma))
+                else:                  # original hard
+                    weight = 0.0 if ov > nt else 1.0
+                boxes[pos, 4] *= weight
+                if boxes[pos, 4] < threshold:
+                    boxes[pos] = boxes[n - 1]
+                    idx[pos] = idx[n - 1]
+                    n -= 1
+                    pos -= 1
+            pos += 1
+        i += 1
+    return idx[:n].copy()

@@ -46,10 +46,13 @@ def matrix2angle(R: np.ndarray) -> Tuple[float, float, float]:
 
 
 def angle2matrix(angles: Sequence[float]) -> np.ndarray:
-    """(x=yaw, y=pitch, z=roll) radians -> R, inverse of matrix2angle."""
+    """(x=yaw, y=pitch, z=roll) radians -> R, inverse of matrix2angle
+    (utils/pose.py:65-108; note the reference's R_y carries sin(-x) at
+    [0, 2] so that R[2, 0] = +sin(x), matching matrix2angle's
+    x = asin(R[2, 0]) — the transposed R_y would flip yaw)."""
     x, y, z = angles
     rx = np.array([[1, 0, 0], [0, cos(y), -sin(y)], [0, sin(y), cos(y)]])
-    ry = np.array([[cos(x), 0, sin(x)], [0, 1, 0], [-sin(x), 0, cos(x)]])
+    ry = np.array([[cos(x), 0, -sin(x)], [0, 1, 0], [sin(x), 0, cos(x)]])
     rz = np.array([[cos(z), -sin(z), 0], [sin(z), cos(z), 0], [0, 0, 1]])
     return rz @ ry @ rx
 

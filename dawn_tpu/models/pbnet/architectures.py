@@ -78,6 +78,9 @@ class EncoderTransformerReemb6(nn.Module):
         h = jnp.concatenate([ref_emb, dx_emb, y_emb], axis=-1)   # (B, T, 384)
 
         h = h + sinusoidal_table(t, latent)[None]
+        # the reference PositionalEncoding applies dropout after adding the
+        # table (transformerreemb6.py:62-78)
+        h = nn.Dropout(self.dropout, deterministic=self.deterministic)(h)
         kpm = None if mask is None else ~mask
         for i in range(self.num_layers):
             h = TorchTransformerEncoderLayer(

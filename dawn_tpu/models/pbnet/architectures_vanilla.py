@@ -44,8 +44,11 @@ from dawn_tpu.models.pbnet.layers import sinusoidal_table
 
 class _TorchMHA(nn.Module):
     """torch nn.MultiheadAttention with packed in_proj (q from x, k/v from
-    memory), post-scale 1/sqrt(head_dim), key-padding masking."""
+    memory), post-scale 1/sqrt(head_dim), key-padding masking, attention-
+    probability dropout (transformerdecoder.py:100)."""
     heads: int
+    deterministic: bool = True
+    dropout: float = 0.1
 
     @nn.compact
     def __call__(self, q_in, kv_in, key_padding_mask=None):
@@ -67,6 +70,10 @@ class _TorchMHA(nn.Module):
         if key_padding_mask is not None:
             sim = jnp.where(key_padding_mask[:, None, None, :], -jnp.inf, sim)
         attn = jax.nn.softmax(sim, axis=-1)
+        # the reference's copied MultiheadAttention drops the attention
+        # probabilities (transformerdecoder.py:100)
+        attn = nn.Dropout(self.dropout,
+                          deterministic=self.deterministic)(attn)
         out = jnp.einsum("bhij,bhjd->bhid", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         return nn.Dense(c, name="out_proj")(out)
@@ -85,10 +92,11 @@ class TorchTransformerDecoderLayer(nn.Module):
         def drop(z):
             return nn.Dropout(self.dropout, deterministic=self.deterministic)(z)
 
-        sa = _TorchMHA(self.heads, name="self_attn")(
-            tgt, tgt, tgt_key_padding_mask)
+        sa = _TorchMHA(self.heads, self.deterministic, self.dropout,
+                       name="self_attn")(tgt, tgt, tgt_key_padding_mask)
         tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt + drop(sa))
-        ca = _TorchMHA(self.heads, name="multihead_attn")(
+        ca = _TorchMHA(self.heads, self.deterministic, self.dropout,
+                       name="multihead_attn")(
             tgt, memory, memory_key_padding_mask)
         tgt = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt + drop(ca))
         h = nn.Dense(self.ff_size, name="linear1")(tgt)
@@ -280,8 +288,11 @@ class DecoderMLP(nn.Module):
 
 class _JoeyMHA(nn.Module):
     """joeynmt MultiHeadedAttention (transformer_layers.py:11-95): separate
-    k/v/q projections, q pre-scaled, boolean mask True = keep."""
+    k/v/q projections, q pre-scaled, boolean mask True = keep, attention
+    probs dropped (:79)."""
     heads: int
+    deterministic: bool = True
+    dropout: float = 0.1
 
     @nn.compact
     def __call__(self, k_in, v_in, q_in, mask=None):
@@ -302,6 +313,8 @@ class _JoeyMHA(nn.Module):
             # (B, 1, M) or (B, N, M), True = attend
             sim = jnp.where(mask[:, None], sim, -jnp.inf)
         attn = jax.nn.softmax(sim, axis=-1)
+        attn = nn.Dropout(self.dropout,
+                          deterministic=self.deterministic)(attn)
         out = jnp.einsum("bhij,bhjd->bhid", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         return nn.Dense(c, name="output_layer")(out)
@@ -312,14 +325,17 @@ class _JoeyDecoderLayer(nn.Module):
     pre-norm self-attn, pre-norm cross-attn, pre-norm FF (ReLU)."""
     heads: int
     ff_size: int
+    deterministic: bool = True
+    dropout: float = 0.1
 
     @nn.compact
     def __call__(self, x, memory, src_mask=None, trg_mask=None):
         xn = nn.LayerNorm(epsilon=1e-6, name="x_layer_norm")(x)
-        h1 = _JoeyMHA(self.heads, name="trg_trg_att")(xn, xn, xn, trg_mask) + x
+        h1 = _JoeyMHA(self.heads, self.deterministic, self.dropout,
+                      name="trg_trg_att")(xn, xn, xn, trg_mask) + x
         h1n = nn.LayerNorm(epsilon=1e-6, name="dec_layer_norm")(h1)
-        h2 = _JoeyMHA(self.heads, name="src_trg_att")(
-            memory, memory, h1n, src_mask)
+        h2 = _JoeyMHA(self.heads, self.deterministic, self.dropout,
+                      name="src_trg_att")(memory, memory, h1n, src_mask)
         ffin = h2 + h1
         fn = nn.LayerNorm(epsilon=1e-6, name="ff_layer_norm")(ffin)
         h = nn.relu(nn.Dense(self.ff_size, name="ff_linear1")(fn))
@@ -396,6 +412,7 @@ class DecoderAutotrans(nn.Module):
         val = trg
         for i in range(self.num_layers):
             val = _JoeyDecoderLayer(self.num_heads, self.ff_size,
+                                    self.deterministic, self.dropout,
                                     name=f"layers_{i}")(
                 val, src, src_mask=src_mask, trg_mask=trg_mask)
         val = nn.LayerNorm(epsilon=1e-6, name="layer_norm")(val)

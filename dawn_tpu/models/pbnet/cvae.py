@@ -113,7 +113,11 @@ class PBnetParams:
             pos_dim=int(g("pos_dim", 6)),
             eye_dim=int(g("eye_dim", 0)),
             audio_dim=int(g("audio_dim", 1024)),
-            latent_dim=int(g("latent_dim", 256)),
+            # the knob the reference archis actually consume is
+            # audio_latent_dim (transformerreemb6.py:148,159 — the parser's
+            # latent_dim is unused by the reemb family); fall back to
+            # latent_dim for hand-written opts
+            latent_dim=int(g("audio_latent_dim", g("latent_dim", 256))),
             ff_size=int(g("ff_size", 128)),
             num_layers=int(g("num_layers", 2)),
             num_heads=int(g("num_heads", 4)),
@@ -238,8 +242,10 @@ class CVAE:
 
         Every loss name from the reference registry (losses.py `_matching_`:
         rc, rcw, reg, kl, ssim, var, mmd, hp) is supported via
-        ``dawn_tpu.models.pbnet.losses``. KL is annealed: zero before epoch
-        1e4, linear ramp to 1 over the next 1e4 epochs (cae.py:72-76).
+        ``dawn_tpu.models.pbnet.losses``. KL annealing replicates cae.py:72-76
+        exactly, oddities included: FULL weight at epoch 0, ZERO for epochs
+        1..1e4-1, full again from 1e4 (max(epoch-1e4, 7e4)/7e4 == 1 up to
+        epoch 8e4), then growing without bound beyond 8e4.
         ``mmd``/``hp`` need ``rng``; ``hp`` additionally needs ``encode_fn``
         (x -> latent, the reference's model.return_latent).
         """
@@ -252,7 +258,12 @@ class CVAE:
         losses = {}
         for name in hp.lambdas:
             if name == "kl":
-                anneal = float(np.clip((epoch - 1e4) / 1e4, 0.0, 1.0))
+                if epoch == 0:
+                    anneal = 1.0
+                elif epoch < 1e4:
+                    anneal = 0.0
+                else:
+                    anneal = max(epoch - 1e4, 7e4) / 7e4
                 if batch_out["mu"].ndim == 2:   # sequence-level latent (mlp)
                     kl = -0.5 * (1.0 + batch_out["logvar"]
                                  - jnp.square(batch_out["mu"])

@@ -139,6 +139,8 @@ class TorchTransformerEncoderLayer(nn.Module):
         if key_padding_mask is not None:
             sim = jnp.where(key_padding_mask[:, None, None, :], -jnp.inf, sim)
         attn = jax.nn.softmax(sim, axis=-1)
+        # torch MultiheadAttention drops the attention PROBABILITIES too
+        attn = drop(attn)
         out = jnp.einsum("bhij,bhjd->bhid", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         out = nn.Dense(c, name="out_proj")(out)

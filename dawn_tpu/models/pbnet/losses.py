@@ -11,7 +11,9 @@ reference, by design rather than omission:
   bug we do not reproduce.
 - masked frames are excluded by multiplication instead of boolean
   masked-select (XLA needs static shapes); the normalizations match the
-  reference's masked means exactly.
+  reference's masked means exactly — except ``kl``, which the reference
+  averages UNMASKED over padded frames too (losses.py:67-71) and we
+  replicate as-is.
 """
 
 from __future__ import annotations
@@ -59,10 +61,14 @@ def reg_loss(out, x_delta, mask, **_):
     return (jnp.square(d) * m[..., None]).sum() / denom
 
 
-def kl_loss(mu, logvar, mask, **_):
-    """Gaussian KL to N(0,1), masked mean (losses.py:67-71)."""
+def kl_loss(mu, logvar, mask=None, **_):
+    """Gaussian KL to N(0,1) — UNMASKED mean, exactly like the reference
+    (losses.py:67-71 `torch.mean` over the full tensor, padded frames
+    included; the encoder does emit mu/logvar on padded positions and the
+    reference averages them in)."""
+    del mask
     kl = -0.5 * (1.0 + logvar - jnp.square(mu) - jnp.exp(logvar))
-    return _masked_mean(kl, mask)
+    return kl.mean()
 
 
 # ------------------------------------------------------------------ ssim
