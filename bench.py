@@ -30,7 +30,10 @@ import sys
 import time
 
 EST_REF_A100_FPS = 12.5
-V5E_PEAK_TFLOPS_BF16 = 197.0
+V5E_PEAK_TFLOPS_BF16 = 197.0   # mfu_pct is always vs the bf16 peak, also
+                               # for --dtype f32 runs (v5e has no separate
+                               # f32 MXU rate spec; treat f32 mfu as a lower
+                               # bound on bf16-relative utilization)
 V5E_PEAK_HBM_GBPS = 819.0
 
 

@@ -258,12 +258,13 @@ class CVAE:
         losses = {}
         for name in hp.lambdas:
             if name == "kl":
-                if epoch == 0:
-                    anneal = 1.0
-                elif epoch < 1e4:
-                    anneal = 0.0
-                else:
-                    anneal = max(epoch - 1e4, 7e4) / 7e4
+                # traced-compatible so the train step can pass the live
+                # epoch without a static-arg recompile per value
+                ep = jnp.asarray(epoch, jnp.float32)
+                anneal = jnp.where(
+                    ep == 0, 1.0,
+                    jnp.where(ep < 1e4, 0.0,
+                              jnp.maximum(ep - 1e4, 7e4) / 7e4))
                 if batch_out["mu"].ndim == 2:   # sequence-level latent (mlp)
                     kl = -0.5 * (1.0 + batch_out["logvar"]
                                  - jnp.square(batch_out["mu"])

@@ -38,8 +38,16 @@ def _load_init(init_dir: str) -> Tuple[np.ndarray, np.ndarray]:
         return DEFAULT_POSE_6, DEFAULT_BLINK_2
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=4)
 def load_pbnet_with_opt(ckpt_path: str, pos_dim: int, eye_dim: int):
-    """CVAE + converted weights from a .pth.tar + sibling opt.yaml."""
+    """CVAE + converted weights from a .pth.tar + sibling opt.yaml.
+
+    lru-cached: batch drivers (scripts/ood_test.py) call the generate
+    functions once per (pair, sample) — without the cache every iteration
+    would reload + reconvert the torch checkpoint and re-trace generate."""
     import yaml
     from dawn_tpu.models.pbnet import build_pbnet
     from dawn_tpu.weights import convert_pbnet_checkpoint

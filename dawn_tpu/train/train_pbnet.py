@@ -140,6 +140,8 @@ class PBnetTrainer:
         batch_sh = {"x": data, "hubert": data}
         if with_lengths:
             batch_sh["lengths"] = data
+        # epoch is TRACED (compute_loss's annealing is jnp-based) — a static
+        # epoch would recompile the step for every distinct value
         return jax.jit(self.train_step,
-                       in_shardings=(rep, rep, batch_sh),
-                       static_argnums=(3,), donate_argnums=(0,))
+                       in_shardings=(rep, rep, batch_sh, rep),
+                       donate_argnums=(0,))

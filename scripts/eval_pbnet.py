@@ -60,6 +60,10 @@ def main():
 
         preds, gts = [], []
         rng = jax.random.PRNGKey(seed)
+        # every seed pass evaluates the SAME clip windows — only the
+        # generation noise varies; otherwise seed-to-seed variance conflates
+        # clip selection with sampling stochasticity
+        dataset.rng = np.random.RandomState(0)
         for idx in range(len(dataset.names)):
             s = dataset.sample(idx)
             if args.kind == "pose":

@@ -23,6 +23,10 @@ def main():
     ap.add_argument("--hubert-dir", default=None,
                     help="HF hubert-large-ls960-ft directory")
     args = ap.parse_args()
+    if args.features in ("hubert", "both") and not args.hubert_dir:
+        ap.error("--hubert-dir is required for --features hubert/both "
+                 "(no random-weight fallback here: extracted features feed "
+                 "training/eval and must come from the real checkpoint)")
 
     import numpy as np
     from dawn_tpu.pipeline.audio import read_wav_16k

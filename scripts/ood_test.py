@@ -86,8 +86,19 @@ def main():
         for s_idx in range(args.samples_per_pair):
             print(f"[{i + 1}/{len(pairs)}] {tag} sample {s_idx}")
             t0 = time.time()
-            outdir = (args.output if args.samples_per_pair == 1
-                      else os.path.join(args.output, f"s{s_idx}"))
+            # outputs keyed by the (image, audio) TAG — the generator itself
+            # keys by image name only, so two pairs sharing an image would
+            # overwrite each other's frames
+            outdir = os.path.join(args.output, tag
+                                  if args.samples_per_pair == 1
+                                  else os.path.join(f"s{s_idx}", tag))
+            name = os.path.splitext(os.path.basename(image))[0]
+            img_dir = os.path.join(outdir, name, "img")
+            if os.path.isdir(img_dir):
+                # stale higher-numbered PNGs from a longer earlier run would
+                # otherwise leak into the metrics frame stack
+                for f in os.listdir(img_dir):
+                    os.remove(os.path.join(img_dir, f))
             gen = VideoGenerator(audio, image, outdir, cache,
                                  args.resolution, paths,
                                  seed=args.seed + s_idx)

@@ -133,7 +133,11 @@ def main():
             dec = jax.lax.map(dec_chunk,
                               (grid_c.transpose(1, 0, 2, 3, 4, 5),
                                conf_c.transpose(1, 0, 2, 3, 4, 5)))
-            return dec["prediction"].transpose(1, 0, 2, 3, 4, 5)
+            out = dec["prediction"].transpose(1, 0, 2, 3, 4, 5)
+            # same output contract as the unchunked branch and the
+            # production path (flow_diffusion.py chunk decode): (B, T, ...)
+            out = out.reshape((out.shape[0], nc * ck) + out.shape[3:])
+            return out[:, :grid.shape[1]]
         dec = model.generator.apply(variables["generator"], img, grid, conf,
                                     method=LFGGenerator.decode_with_flow_batched)
         return dec["prediction"]

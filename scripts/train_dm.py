@@ -53,6 +53,13 @@ def main():
     from dawn_tpu.utils.checkpoint import save_checkpoint, restore_checkpoint, restored_step
     from dawn_tpu.utils.misc import Logger, AverageMeter, setup_seed
 
+    # must run before ANY backend touch — DMTrainer's GaussianDiffusion
+    # materializes schedule buffers with jnp.asarray at construction
+    if maybe_initialize_distributed():
+        print(f"distributed: process {jax.process_index()}/"
+              f"{jax.process_count()}, "
+              f"{len(jax.devices())} global devices")
+
     with open(args.config) as f:
         cfg_yaml = yaml.safe_load(f)
     setup_seed(cfg_yaml.get("random_seed", 1234))
@@ -89,11 +96,6 @@ def main():
     print(f"dataset: {len(dataset)} videos, {num_frames} frames/clip"
           + (f", stage-2 buckets {s2_buckets}" if args.stage == 2 else ""))
 
-    # must run before anything touches jax.devices() (backend init)
-    if maybe_initialize_distributed():
-        print(f"distributed: process {jax.process_index()}/"
-              f"{jax.process_count()}, "
-              f"{len(jax.devices())} global devices")
     n_dev = len(jax.devices())
     mesh = make_mesh(seq_parallel=2 if n_dev % 2 == 0 and n_dev > 1 else 1)
     print(f"mesh: {mesh.shape}")

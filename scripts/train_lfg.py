@@ -21,7 +21,8 @@ def frame_pair_batches(frames_dir, batch_size, img_size, steps, rng):
     """Random (source, driving) frame pairs from per-video chunk dirs
     (frames_dataset.py:135-167 semantics over the chunked-npy layout)."""
     import numpy as np
-    from dawn_tpu.train.data import read_block_range, HDTF_TEST_SPLIT, HDTF_BAD_VIDEOS
+    from dawn_tpu.train.data import (read_block_range, BLOCK,
+                                     HDTF_TEST_SPLIT, HDTF_BAD_VIDEOS)
     videos = [v for v in sorted(os.listdir(frames_dir))
               if v not in HDTF_TEST_SPLIT and v not in HDTF_BAD_VIDEOS]
     lengths = {}
@@ -35,7 +36,8 @@ def frame_pair_batches(frames_dir, batch_size, img_size, steps, rng):
                 chunks = sorted(glob.glob(os.path.join(vd, "chunk_*.npy")))
                 if not chunks:
                     continue
-                lengths[name] = (len(chunks) - 1) * 25 + len(np.load(chunks[-1]))
+                lengths[name] = ((len(chunks) - 1) * BLOCK
+                                 + len(np.load(chunks[-1])))
             n = lengths[name]
             i, j = rng.randint(n), rng.randint(n)
             srcs.append(read_block_range(vd, i, i + 1)[0])
@@ -83,6 +85,7 @@ def main():
     sys.stdout = Logger(os.path.join(args.workdir, "train.log"))
 
     tp = y["train_params"]
+    bs = args.batch_size or int(tp.get("batch_size", 16))
     cfg = LFGTrainConfig(
         img_size=y["model_params"].get("frame_shape", 128)
         if isinstance(y["model_params"].get("frame_shape"), int) else 128,
@@ -99,8 +102,7 @@ def main():
         sync_bn_axis=None,
         epoch_milestones=tuple(tp.get("epoch_milestones", (60, 90))),
         steps_per_epoch=max(1, (len(os.listdir(args.frames_dir))
-                                * int(tp.get("num_repeats", 100)))
-                            // max(1, args.batch_size)))
+                                * int(tp.get("num_repeats", 100))) // bs))
     trainer = LFGTrainer(cfg)
 
     state = trainer.init_state(jax.random.PRNGKey(0))
@@ -113,7 +115,6 @@ def main():
 
     mesh = make_mesh(seq_parallel=1, axis_names=("data", "seq"))
     step_fn = trainer.make_sharded_step(mesh)
-    bs = args.batch_size or tp["batch_size"]
     rng = np.random.RandomState(0)
     log = open(os.path.join(args.workdir, "metrics.jsonl"), "a")
     t0 = time.time()

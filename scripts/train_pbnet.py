@@ -73,11 +73,15 @@ def main():
     step_fn = trainer.make_sharded_step(mesh)
     log = open(os.path.join(workdir, "metrics.jsonl"), "a")
     t0 = time.time()
+    # KL annealing is EPOCH-based in the reference (cae.py:72-76); one epoch
+    # = one pass over the video list at this batch size
+    steps_per_epoch = max(1, len(dataset.names) // max(1, args.batch_size))
     with mesh:
         for step, raw in enumerate(dataset.batches(args.batch_size, args.steps)):
             x = raw["pose"] if args.kind == "pose" else raw["eye"]
             batch = {"x": jnp.asarray(x), "hubert": jnp.asarray(raw["hubert"])}
-            state, metrics = step_fn(state, jax.random.PRNGKey(step), batch, 0)
+            state, metrics = step_fn(state, jax.random.PRNGKey(step), batch,
+                                     jnp.float32(step // steps_per_epoch))
             if step % args.log_every == 0:
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                 m["step"], m["wall"] = step, time.time() - t0
