@@ -26,3 +26,22 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # Parity tests compare against torch float32; disable bf16 matmul passes.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def randomize_bn_stats(module, seed: int = 3):
+    """Randomize a torch module's BatchNorm running_mean/running_var in place
+    so eval-mode normalization is actually exercised (fresh modules carry
+    identity stats). Shared by the three parity suites."""
+    import numpy as np
+    import torch
+    sd = module.state_dict()
+    rng = np.random.RandomState(seed)
+    for k in sd:
+        if k.endswith("running_mean"):
+            sd[k] = torch.from_numpy(
+                rng.randn(*sd[k].shape).astype(np.float32) * 0.1)
+        if k.endswith("running_var"):
+            sd[k] = torch.from_numpy(
+                rng.rand(*sd[k].shape).astype(np.float32) + 0.5)
+    module.load_state_dict(sd)
+    return module

@@ -16,7 +16,6 @@ from dawn_tpu.ops.t5bias import (
     t5_bias_matrix, t5_bias_windowed_vector, window_mask,
 )
 
-RNG = np.random.RandomState(7)
 
 
 def full_windowed_attention(q, k, v, bias_full):
@@ -27,11 +26,19 @@ def full_windowed_attention(q, k, v, bias_full):
     return jnp.einsum("nhij,nhjd->nhid", attn, v)
 
 
+def _rng(n, h, t, d, seed_extra=0):
+    # fresh per-call generator seeded from the shape: inputs are reproducible
+    # under any test selection/order (a module-global generator made each
+    # test's data depend on which tests ran before it)
+    return np.random.RandomState(7 + n * 131 + h * 17 + t + d + seed_extra)
+
+
 def _make_inputs(n, h, t, d):
-    q = jnp.asarray(RNG.randn(n, h, t, d).astype(np.float32)) * (d ** -0.5)
-    k = jnp.asarray(RNG.randn(n, h, t, d).astype(np.float32))
-    v = jnp.asarray(RNG.randn(n, h, t, d).astype(np.float32))
-    emb = jnp.asarray(RNG.randn(32, h).astype(np.float32))
+    rng = _rng(n, h, t, d)
+    q = jnp.asarray(rng.randn(n, h, t, d).astype(np.float32)) * (d ** -0.5)
+    k = jnp.asarray(rng.randn(n, h, t, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(n, h, t, d).astype(np.float32))
+    emb = jnp.asarray(rng.randn(32, h).astype(np.float32))
     return q, k, v, emb
 
 
@@ -75,6 +82,26 @@ class TestPallasKernel:
         got = local_attention_pallas(q, k, v, vec, w, block_q=64, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
+    def test_interpret_no_bias(self):
+        """bias_vec=None (mask-only _tile_bias path) — every other variant
+        covers its None branch; this one must too."""
+        n, h, t, d, w = 1, 4, 130, 32, 20
+        q, k, v, _ = _make_inputs(n, h, t, d)
+        ref = local_attention_banded(q, k, v, None, w, block_q=64)
+        got = local_attention_pallas(q, k, v, None, w, block_q=64,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_interpret_single_block(self):
+        """t <= block_q: one query block, clamped neighbor tiles."""
+        n, h, t, d, w = 1, 2, 48, 32, 12
+        q, k, v, emb = _make_inputs(n, h, t, d)
+        vec = t5_bias_windowed_vector(emb, w, 32, 32)
+        ref = local_attention_banded(q, k, v, vec, w, block_q=64)
+        got = local_attention_pallas(q, k, v, vec, w, block_q=64,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
 
 class TestTiledBackward:
     """Fused 3-tile backward (the T > PACKED_MAX_T training path) vs the
@@ -85,7 +112,7 @@ class TestTiledBackward:
         n, h, t, d, w = 2, 4, 150, 32, 20
         q, k, v, emb = _make_inputs(n, h, t, d)
         vec = t5_bias_windowed_vector(emb, w, 32, 32)
-        g = jnp.asarray(RNG.randn(n, h, t, d).astype(np.float32))
+        g = jnp.asarray(_rng(n, h, t, d, 1).randn(n, h, t, d).astype(np.float32))
         _, vjp = jax.vjp(lambda q, k, v, b: local_attention_banded(
             q, k, v, b, w), q, k, v, vec)
         ref = vjp(g)
@@ -98,7 +125,7 @@ class TestTiledBackward:
         from dawn_tpu.ops.local_attention import _tiled_bwd_pallas
         n, h, t, d, w = 1, 2, 77, 16, 10
         q, k, v, _ = _make_inputs(n, h, t, d)
-        g = jnp.asarray(RNG.randn(n, h, t, d).astype(np.float32))
+        g = jnp.asarray(_rng(n, h, t, d, 1).randn(n, h, t, d).astype(np.float32))
         _, vjp = jax.vjp(lambda q, k, v: local_attention_banded(
             q, k, v, None, w), q, k, v)
         ref = vjp(g)
@@ -115,7 +142,7 @@ class TestTiledBackward:
         n, h, t, d, w = 1, 4, 40, 32, 12
         q, k, v, emb = _make_inputs(n, h, t, d)
         vec = t5_bias_windowed_vector(emb, w, 32, 32)
-        g = jnp.asarray(RNG.randn(n, h, t, d).astype(np.float32))
+        g = jnp.asarray(_rng(n, h, t, d, 1).randn(n, h, t, d).astype(np.float32))
         _, vjp = jax.vjp(lambda q, k, v, b: local_attention_banded(
             q, k, v, b, w), q, k, v, vec)
         ref = vjp(g)
@@ -172,7 +199,7 @@ class TestPackedKernel:
         q, k, v, emb = _make_inputs(n, h, t, d)
         vec = t5_bias_windowed_vector(emb, w, 32, 32)
         qp, kp, vp = self._pack(q), self._pack(k), self._pack(v)
-        g = jnp.asarray(RNG.randn(n, t, h * d).astype(np.float32))
+        g = jnp.asarray(_rng(n, 1, t, h * d, 2).randn(n, t, h * d).astype(np.float32))
 
         def banded_packed(qp, kp, vp, vec):
             def split(x):
@@ -193,7 +220,7 @@ class TestPackedKernel:
         n, h, t, d, w = 1, 2, 40, 16, 10
         q, k, v, _ = _make_inputs(n, h, t, d)
         qp, kp, vp = self._pack(q), self._pack(k), self._pack(v)
-        g = jnp.asarray(RNG.randn(n, t, h * d).astype(np.float32))
+        g = jnp.asarray(_rng(n, 1, t, h * d, 2).randn(n, t, h * d).astype(np.float32))
 
         def banded_packed(qp, kp, vp):
             def split(x):

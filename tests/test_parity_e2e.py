@@ -85,16 +85,8 @@ def _make_ref_model(tmp_path_factory, dim_mults):
     gen = Generator(num_channels=3, num_regions=10, revert_axis_swap=True,
                     pixelwise_flow_predictor_params=None, **LFG_CFG)
     # randomize BN running stats so eval-mode normalization is exercised
-    sd = gen.state_dict()
-    rng = np.random.RandomState(3)
-    for k in sd:
-        if k.endswith("running_mean"):
-            sd[k] = torch.from_numpy(
-                rng.randn(*sd[k].shape).astype(np.float32) * 0.1)
-        if k.endswith("running_var"):
-            sd[k] = torch.from_numpy(
-                rng.rand(*sd[k].shape).astype(np.float32) + 0.5)
-    gen.load_state_dict(sd)
+    from conftest import randomize_bn_stats
+    randomize_bn_stats(gen)
 
     rp_cfg = dict(block_expansion=8, max_features=16, num_blocks=2,
                   temperature=0.1, scale_factor=1, pca_based=True)
@@ -241,10 +233,10 @@ def test_sample_one_video_frame_for_frame(ref_model, jax_model, monkeypatch,
     cmp("sample_warped_vid", ref_out["sample_warped_vid"], 1e-3)
 
 
-def test_ddim_noise_draw_count(ref_model, jax_model, monkeypatch):
+def test_ddim_noise_draw_count(ref_model, monkeypatch):
     """The randn stream really is 1 init + (steps-1) per-step draws — the
-    mapping test_sample_one_video relies on."""
-    jmodel, variables = jax_model
+    mapping test_sample_one_video relies on. Torch-only: exercises the
+    REFERENCE's draw order, no flax build needed."""
     img, audio, pose, eye, bbox = _inputs(seed=12)
     tap = _NoiseTap(seed=8)
     monkeypatch.setattr(torch, "randn", tap.randn)

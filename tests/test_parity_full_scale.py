@@ -23,7 +23,12 @@ for p in (os.path.join(HERE, "ref_shims"), "/root/reference"):
     if p not in sys.path:
         sys.path.insert(0, p)
 
-torch.manual_seed(0)
+@pytest.fixture(autouse=True)
+def _seed_torch():
+    # reseed per TEST, not per import: pytest collects all modules first and
+    # other tests consume the global torch RNG, so module-level seeding gives
+    # selection-order-dependent (irreproducible) weights
+    torch.manual_seed(0)
 
 
 def test_unet3d_full_scale_converter():
@@ -68,16 +73,8 @@ def test_lfg_full_scale_converter():
                           max_features=512, num_down_blocks=2,
                           num_bottleneck_blocks=6, skips=True,
                           pixelwise_flow_predictor_params=None).eval()
-    sd = tgen.state_dict()
-    rng = np.random.RandomState(3)
-    for k in sd:
-        if k.endswith("running_mean"):
-            sd[k] = torch.from_numpy(
-                rng.randn(*sd[k].shape).astype(np.float32) * 0.1)
-        if k.endswith("running_var"):
-            sd[k] = torch.from_numpy(
-                rng.rand(*sd[k].shape).astype(np.float32) + 0.5)
-    tgen.load_state_dict(sd)
+    from conftest import randomize_bn_stats
+    randomize_bn_stats(tgen)
 
     jgen = LFGGenerator(block_expansion=64, max_features=512,
                         num_down_blocks=2, num_bottleneck_blocks=6)
@@ -85,6 +82,7 @@ def test_lfg_full_scale_converter():
         {k: v for k, v in tgen.state_dict().items()},
         num_down_blocks=2, num_bottleneck=6)["generator"]
 
+    rng = np.random.RandomState(4)
     img = rng.rand(1, 3, 32, 32).astype(np.float32)
     flow = (rng.rand(1, 8, 8, 2).astype(np.float32) * 2 - 1)
     conf = rng.rand(1, 8, 8, 1).astype(np.float32)

@@ -25,7 +25,12 @@ for p in (os.path.join(HERE, "ref_shims"), REF):
     if p not in sys.path:
         sys.path.insert(0, p)
 
-torch.manual_seed(0)
+@pytest.fixture(autouse=True)
+def _seed_torch():
+    # reseed per TEST, not per import: pytest collects all modules first and
+    # other tests consume the global torch RNG, so module-level seeding gives
+    # selection-order-dependent (irreproducible) weights
+    torch.manual_seed(0)
 
 
 def t2n(t):
@@ -95,7 +100,7 @@ class TestUnetParity:
             ref = tnet.forward(torch.from_numpy(x), torch.from_numpy(t),
                                cond=torch.from_numpy(cond), null_cond_prob=0.0)
         got = jlocal.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1))),
-                           jnp.asarray([512], jnp.int32), jnp.asarray(cond))
+                           jnp.asarray(t, jnp.int32), jnp.asarray(cond))
         err = np.abs(np.asarray(got) - video_to_jax(ref)).max()
         assert err < 5e-4, f"local-attn UNet parity max err {err}"
 
@@ -112,14 +117,8 @@ class TestLFGParity:
                               num_bottleneck_blocks=2, skips=True,
                               pixelwise_flow_predictor_params=None).eval()
         # randomize BN running stats so eval-mode normalization is exercised
-        sd = tgen.state_dict()
-        rng = np.random.RandomState(3)
-        for k in sd:
-            if k.endswith("running_mean"):
-                sd[k] = torch.from_numpy(rng.randn(*sd[k].shape).astype(np.float32) * 0.1)
-            if k.endswith("running_var"):
-                sd[k] = torch.from_numpy(rng.rand(*sd[k].shape).astype(np.float32) + 0.5)
-        tgen.load_state_dict(sd)
+        from conftest import randomize_bn_stats
+        randomize_bn_stats(tgen)
 
         jgen = LFGGenerator(block_expansion=16, max_features=128,
                             num_down_blocks=2, num_bottleneck_blocks=2)
