@@ -72,6 +72,9 @@ def main():
                          "packed vs full)")
     args = ap.parse_args()
 
+    from dawn_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
     import numpy as np

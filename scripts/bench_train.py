@@ -28,6 +28,9 @@ def main():
                     help="also write the one-line JSON artifact here")
     args = ap.parse_args()
 
+    from dawn_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -35,6 +35,9 @@ def main():
     args = ap.parse_args()
 
     import numpy as np
+    from dawn_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
 

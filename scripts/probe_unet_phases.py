@@ -61,6 +61,9 @@ def main():
                          "init/resample pieces the level loop misses")
     args = ap.parse_args()
 
+    from dawn_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -70,6 +70,9 @@ def main():
                     help="skip the DDIM phase; decode random flow fields")
     args = ap.parse_args()
 
+    from dawn_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -31,6 +31,9 @@ def main():
 
     import yaml
     import numpy as np
+    from dawn_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
     from dawn_tpu.train.train_pbnet import PBnetTrainer, PBnetTrainConfig
