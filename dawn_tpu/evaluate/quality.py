@@ -154,8 +154,68 @@ def lip_sync_proxy(gen: np.ndarray, gt: np.ndarray,
     return {"mouth_l1": l1, "mouth_ssim": ssim}
 
 
+def _mouth_region_mask(shape4, mouth_lmk: Optional[np.ndarray]) -> np.ndarray:
+    """(N, T, H, W, 1) mouth mask: landmark bbox when available, else the
+    center-lower-third fallback crop (the 3DDFA-failure region)."""
+    h, w = shape4[2], shape4[3]
+    if mouth_lmk is not None:
+        return mouth_mask_images(mouth_lmk, h)
+    mask = np.zeros(tuple(shape4[:4]) + (1,), np.float32)
+    mask[:, :, int(h * 0.55): int(h * 0.85), int(w * 0.3): int(w * 0.7)] = 1.0
+    return mask
+
+
+def av_sync_proxy(videos: np.ndarray, audio_feats: np.ndarray,
+                  mouth_lmk: Optional[np.ndarray] = None,
+                  max_offset: int = 8) -> Dict[str, float]:
+    """Offset-sweep audio <-> mouth-motion correlation (VERDICT r3 #9).
+
+    A checkpoint-free AV-sync signal stronger than mouth-SSIM: audio
+    activity a_t = ||f_{t+1} - f_t||_2 over the per-frame audio features
+    (HuBERT at 25 fps) should co-vary with mouth-region motion energy
+    m_t = mean |I_{t+1} - I_t| over the mouth mask, and should co-vary BEST
+    at offset 0 — shifted audio must score worse (sanity-tested in
+    tests/test_quality.py). Reports the Pearson correlation at offset 0,
+    the argmax offset over [-max_offset, max_offset] (a synced clip gives
+    0; a constant lag shows up here), and the margin of the offset-0 score
+    over the mean |offset| >= 3 score.
+
+    videos: (N, T, H, W, 3) in [0, 1]; audio_feats: (N, T, D).
+    """
+    n, t = videos.shape[:2]
+    mask = _mouth_region_mask(videos.shape, mouth_lmk)[:, 1:, ..., 0]
+    dm = np.abs(np.diff(videos.mean(-1), axis=1))            # (N, T-1, H, W)
+    m = ((dm * mask).sum((-1, -2))
+         / np.maximum(mask.sum((-1, -2)), 1.0))              # (N, T-1)
+    a = np.linalg.norm(np.diff(np.asarray(audio_feats, np.float32), axis=1),
+                       axis=-1)                              # (N, T-1)
+
+    def corr(x, y):
+        x = x - x.mean()
+        y = y - y.mean()
+        d = np.sqrt((x * x).sum() * (y * y).sum())
+        return float((x * y).sum() / d) if d > 0 else 0.0
+
+    corrs = {}
+    for off in range(-max_offset, max_offset + 1):
+        vals = []
+        for i in range(n):
+            if off >= 0:              # audio leads video by `off` frames
+                x, y = a[i, off:], m[i, : t - 1 - off]
+            else:
+                x, y = a[i, : t - 1 + off], m[i, -off:]
+            if x.shape[0] >= 4:
+                vals.append(corr(x, y))
+        corrs[off] = float(np.mean(vals)) if vals else 0.0
+    best = max(corrs, key=lambda d: corrs[d])
+    far = [v for d, v in corrs.items() if abs(d) >= 3]
+    return {"av_corr": corrs[0], "av_offset": int(best),
+            "av_margin": corrs[0] - float(np.mean(far)) if far else 0.0}
+
+
 def evaluate_quality(generator, variables, real: np.ndarray, fake: np.ndarray,
-                     mouth_lmk: Optional[np.ndarray] = None) -> Dict[str, float]:
+                     mouth_lmk: Optional[np.ndarray] = None,
+                     audio_feats: Optional[np.ndarray] = None) -> Dict[str, float]:
     """The full quality report for a set of (real, generated) videos."""
     if real.shape[0] >= 2:
         frames_fd, videos_fd = _fvd_both(generator, variables, real, fake)
@@ -168,13 +228,16 @@ def evaluate_quality(generator, variables, real: np.ndarray, fake: np.ndarray,
     if videos_fd is not None:
         out["fvd_lfg_videos"] = videos_fd
     out.update(lip_sync_proxy(fake, real, mouth_lmk))
+    if audio_feats is not None:
+        out.update(av_sync_proxy(fake, audio_feats, mouth_lmk))
     return out
 
 
 def evaluate_generated_batch(generator, variables, videos: np.ndarray,
                              labels: np.ndarray, source_images: np.ndarray,
                              real_videos: Optional[np.ndarray] = None,
-                             mouth_lmk: Optional[np.ndarray] = None) -> Dict:
+                             mouth_lmk: Optional[np.ndarray] = None,
+                             audio_feats: Optional[np.ndarray] = None) -> Dict:
     """One-command metrics for an OOD generation batch (scripts/ood_test.py
     --metrics): Frechet + diversity + multimodality + accuracy + lip-sync,
     per identity and aggregate.
@@ -211,6 +274,11 @@ def evaluate_generated_batch(generator, variables, videos: np.ndarray,
     else:
         report["lip_note"] = ("no GT videos supplied - mouth proxy needs "
                               "--real-dir")
+    if audio_feats is not None:
+        # AV-sync needs no GT video — it correlates the generated mouth
+        # motion against the driving audio features directly
+        report.update({f"sync_{k}": v for k, v in
+                       av_sync_proxy(videos, audio_feats, mouth_lmk).items()})
 
     div, mm = diversity_multimodality(
         vid_feats, labels, num_ids,
@@ -237,6 +305,10 @@ def evaluate_generated_batch(generator, variables, videos: np.ndarray,
         if real_videos is not None and sel.any():
             rep_c.update({f"lip_{k}": v for k, v in lip_sync_proxy(
                 videos[sel], real_videos[sel],
+                None if mouth_lmk is None else mouth_lmk[sel]).items()})
+        if audio_feats is not None and sel.any():
+            rep_c.update({f"sync_{k}": v for k, v in av_sync_proxy(
+                videos[sel], audio_feats[sel],
                 None if mouth_lmk is None else mouth_lmk[sel]).items()})
         report["per_identity"][int(c)] = rep_c
     return report

@@ -286,17 +286,30 @@ class FlowDiffusion:
         multi-chip analogue is sharding the frame axis of the whole DDIM
         scan + decode over the 'seq' mesh axis so a video longer than one
         chip's HBM spreads across ICI. Weights and the source image are
-        replicated; every (B, T, ...) input/output is sharded on T. GSPMD
-        inserts the halo exchanges for the windowed temporal attention and
-        the frame-axis collectives for the video-wide GroupNorm — the same
-        shardings the training step already exercises
-        (train_dm.make_sharded_step).
+        replicated; every (B, T, ...) input/output is sharded on T.
+
+        The temporal attention does NOT rely on GSPMD: a pallas_call over a
+        'seq'-sharded frame dim has no partitioning rule and would force a
+        full-T all-gather of q/k/v around every kernel. The sampler instead
+        runs a seq-enabled UNet whose attention is an explicit shard_map +
+        ±window halo exchange (ops/local_attention.py::
+        seq_sharded_local_attention) — one ppermute hop of the window-edge
+        k/v over ICI per attention, the fused Pallas kernel unchanged on
+        each local stripe. The video-wide GroupNorm / quantile reductions
+        and the frame-local convs remain GSPMD-partitioned (partial-sum
+        all-reduces, no gathers). ``tests/test_multichip_inference.py``
+        pins both numerics and the no-full-T-all-gather property of the
+        compiled program. T must be a multiple of the 'seq' axis size and
+        T/shards must cover win_width.
         """
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         rep = NamedSharding(mesh, P())
         seq = NamedSharding(mesh, P(None, "seq"))
-        fn = functools.partial(self.sample_one_video, cond_scale=cond_scale)
+        m = FlowDiffusion.__new__(FlowDiffusion)
+        m.__dict__.update(self.__dict__)
+        m.unet = self.unet.clone(seq_mesh=mesh)
+        fn = functools.partial(m.sample_one_video, cond_scale=cond_scale)
         return jax.jit(
             lambda variables, rng, img, aud, pose, eye, bbox, init_pose,
             init_eye: fn(variables, rng, img, aud, pose, eye, bbox,

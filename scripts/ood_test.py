@@ -66,6 +66,7 @@ def main():
     from dawn_tpu.pipeline import pose_blink
 
     gen_videos, gen_labels, src_images, real_videos = [], [], [], []
+    gen_audio = []
     # models + jitted programs stay resident across (pair, sample) iterations
     # — a fresh VideoGenerator per iteration would rebuild HuBERT/PBnet and
     # re-trace every jit (the XLA compile cache only saves the compile)
@@ -123,6 +124,11 @@ def main():
                 gen_videos.append(_load_frames(
                     os.path.join(outdir, name, "img"), args.resolution))
                 gen_labels.append(i)
+                # the driving HuBERT features of THIS clip — feeds the
+                # offset-sweep AV-sync proxy (no GT video needed)
+                import numpy as _np
+                gen_audio.append(_np.load(
+                    os.path.join(cache, "target_audio.npy")))
         if args.metrics:
             src_images.append(_load_image(image, args.resolution))
             if args.real_dir:
@@ -133,7 +139,7 @@ def main():
 
     if args.metrics:
         _emit_metrics(args, resident["_video_model"], gen_videos, gen_labels,
-                      src_images, real_videos)
+                      src_images, real_videos, gen_audio)
 
 
 def _load_image(path, size):
@@ -172,7 +178,7 @@ def _load_video(path, size):
 
 
 def _emit_metrics(args, video_model, gen_videos, gen_labels, src_images,
-                  real_videos):
+                  real_videos, gen_audio=None):
     import json
     import numpy as np
     from dawn_tpu.evaluate.quality import evaluate_generated_batch
@@ -181,10 +187,14 @@ def _emit_metrics(args, video_model, gen_videos, gen_labels, src_images,
     videos = np.stack([v[:t] for v in gen_videos])
     real = (np.stack([r[:t] for r in real_videos])
             if real_videos else None)
+    audio = (np.stack([a[:t] for a in gen_audio])
+             if gen_audio and all(a.shape[0] >= t for a in gen_audio)
+             else None)
     model, variables = video_model
     report = evaluate_generated_batch(
         model.generator, variables["generator"], videos,
-        np.asarray(gen_labels), np.stack(src_images), real_videos=real)
+        np.asarray(gen_labels), np.stack(src_images), real_videos=real,
+        audio_feats=audio)
     path = os.path.join(args.output, "metrics.json")
     with open(path, "w") as f:
         json.dump(report, f, indent=2)

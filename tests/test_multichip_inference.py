@@ -89,3 +89,53 @@ def test_seq_sampler_8dev(small_model):
                                  init_eye=eye[:, 0])
     err = np.abs(vid - np.asarray(ref["sample_out_vid"])).max()
     assert err < 1e-4, f"seq-sharded sampler deviates: {err}"
+
+
+def _all_gather_shapes(hlo_text):
+    """Result shapes (as element counts + dim tuples) of every all-gather in
+    an optimized HLO dump."""
+    import re
+    out = []
+    for line in hlo_text.splitlines():
+        if "all-gather" not in line:
+            continue
+        m = re.search(r"=\s*\(?([a-z0-9]+)\[([0-9,]*)\]", line)
+        if not m:
+            continue
+        dims = tuple(int(d) for d in m.group(2).split(",") if d)
+        n = 1
+        for d in dims:
+            n *= d
+        out.append((n, dims, line.strip()[:160]))
+    return out
+
+
+def test_seq_sampler_no_full_t_allgather(small_model):
+    """The memory CLAIM of sequence parallelism, pinned on the compiled
+    program (VERDICT r3 weak #3): the seq-sharded sampler must not
+    all-gather full-T attention tensors — the temporal attention runs as
+    shard_map + ppermute halo exchange, so the only 'seq' collectives on
+    activation-sized arrays are window-edge permutes and partial-sum
+    all-reduces (GroupNorm stats, quantile), never a gather that
+    re-materializes (N, T_global, hidden) on one device.
+    """
+    model, variables = small_model
+    mesh = make_mesh(8, seq_parallel=8)
+    t = 16
+    img, aud, pose, eye, bbox = _inputs(1, t)
+    sampler = model.make_seq_sampler(mesh)
+    with mesh:
+        compiled = sampler.lower(variables, jax.random.PRNGKey(2), img, aud,
+                                 pose, eye, bbox, pose[:, 0],
+                                 eye[:, 0]).compile()
+    text = compiled.as_text()
+    # full-T attention tensor at the top level: (B*HW, T, hidden) and its
+    # (B, HW, T, C) layouts — anything all-gathered at >= this size with a
+    # T_global dim means GSPMD re-materialized the frame axis
+    s_top = (IMG // 4) ** 2
+    qkv_elems = s_top * t * 16                         # hidden = heads*dh = 16
+    offenders = [g for g in _all_gather_shapes(text)
+                 if g[0] >= qkv_elems and t in g[1]]
+    assert not offenders, (
+        "seq-sharded sampler all-gathers full-T activation tensors:\n"
+        + "\n".join(o[2] for o in offenders))

@@ -64,6 +64,108 @@ def test_unet3d_full_scale_converter():
     assert err < 2e-3, f"full-scale UNet converter parity: max err {err}"
 
 
+def test_hubert_large_full_scale_converter():
+    """hubert-large topology (24 x 1024, conv-pos k=128 even-kernel trim,
+    stable-LN) through convert_hubert with random HF weights (VERDICT r3 #4).
+
+    The small-config test (test_parity_hubert.py) covers the math; this one
+    covers the RELEASED topology — 24 layers, 16 heads, intermediate 4096,
+    7-layer conv stack kernel (10,3,3,3,3,2,2) stride (5,2,2,2,2,2,2) — so a
+    key mis-mapping at real depth surfaces before hubert-large-ls960-ft is
+    first loaded. Ref: unified_video_generator.py:67-72 (model choice),
+    process_audio_hubert_interpolate_demo.py:34-94 (usage).
+    """
+    from transformers import HubertConfig as HFConfig, HubertModel as HFModel
+    from dawn_tpu.models.hubert import HubertConfig, HubertModel
+    from dawn_tpu.weights.hubert_convert import convert_hubert
+
+    hf_cfg = HFConfig(
+        hidden_size=1024, num_hidden_layers=24, num_attention_heads=16,
+        intermediate_size=4096, conv_dim=(512,) * 7,
+        conv_kernel=(10, 3, 3, 3, 3, 2, 2), conv_stride=(5, 2, 2, 2, 2, 2, 2),
+        conv_bias=True, feat_extract_norm="layer", do_stable_layer_norm=True,
+        num_conv_pos_embeddings=128, num_conv_pos_embedding_groups=16,
+        layer_norm_eps=1e-5)
+    tm = HFModel(hf_cfg).eval()
+
+    cfg = HubertConfig.large()           # the deployed config, verbatim
+    variables = convert_hubert(dict(tm.state_dict()), cfg)
+
+    rng = np.random.RandomState(1)
+    wav = rng.randn(1, 8000).astype(np.float32)      # 0.5 s -> T=24 frames
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(wav)).last_hidden_state.numpy()
+    got = np.asarray(HubertModel(cfg).apply(variables, jnp.asarray(wav)))
+    assert got.shape == ref.shape == (1, 24, 1024), (got.shape, ref.shape)
+    err = np.abs(got - ref).max()
+    assert err < 5e-4, f"hubert-large full-scale parity err {err}"
+
+
+def test_hubert_chunked_boundary_production_geometry():
+    """Chunk bookkeeping at a clip-boundary-straddling length (VERDICT r3 #4).
+
+    Uses the PRODUCTION conv geometry (fused kernel 400 / stride 320 — the
+    numbers the clip bookkeeping is derived from) with thin channels so a
+    1.5-clip wav (480 000 samples, 30 s) is cheap. Asserts (a) our clip
+    bounds equal the reference loop's indices
+    (process_audio_hubert_interpolate_demo.py:56-94), (b) the flax chunked
+    pipeline output matches torch HF run over the same chunks, (c) the
+    expected-length contract (T = (S - 80) // 320) holds.
+    """
+    from transformers import HubertConfig as HFConfig, HubertModel as HFModel
+    from dawn_tpu.models.hubert import HubertConfig, HubertModel
+    from dawn_tpu.weights.hubert_convert import convert_hubert
+    from dawn_tpu.pipeline import audio as audio_mod
+
+    hf_cfg = HFConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=128, conv_dim=(32,) * 7,
+        conv_kernel=(10, 3, 3, 3, 3, 2, 2), conv_stride=(5, 2, 2, 2, 2, 2, 2),
+        conv_bias=True, feat_extract_norm="layer", do_stable_layer_norm=True,
+        num_conv_pos_embeddings=128, num_conv_pos_embedding_groups=16,
+        layer_norm_eps=1e-5)
+    tm = HFModel(hf_cfg).eval()
+    cfg = HubertConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=128, conv_dim=(32,) * 7,
+        conv_kernel=(10, 3, 3, 3, 3, 2, 2), conv_stride=(5, 2, 2, 2, 2, 2, 2),
+        conv_bias=True, feat_extract_norm="layer", do_stable_layer_norm=True,
+        num_conv_pos_embeddings=128, num_conv_pos_embedding_groups=16)
+    variables = convert_hubert(dict(tm.state_dict()), cfg)
+    jm = HubertModel(cfg)
+
+    total = 480_000                      # 1.5 clips: [0, 320080) + [320000, 480000)
+    rng = np.random.RandomState(2)
+    wav = (rng.randn(total) * 0.1).astype(np.float32)
+
+    # (a) bounds == the reference loop's indices, re-derived here
+    kernel, stride, clip_length = 400, 320, 320 * 1000
+    num_iter = total // clip_length
+    ref_bounds = []
+    for i in range(num_iter):
+        s = 0 if i == 0 else clip_length * i
+        ref_bounds.append((s, s + clip_length - stride + kernel))
+    if total - clip_length * num_iter >= kernel:
+        ref_bounds.append((clip_length * num_iter, total))
+    bounds, expected_t = audio_mod.hubert_clip_bounds(total)
+    assert bounds == ref_bounds, (bounds, ref_bounds)
+    assert expected_t == (total - (kernel - stride)) // stride == 1499
+
+    # (b) flax chunked pipeline vs torch over the same chunks
+    feats = audio_mod.hubert_features(
+        wav, lambda w: np.asarray(jm.apply(variables, jnp.asarray(w))))
+    norm = audio_mod.zero_mean_unit_var(wav)[None]
+    with torch.no_grad():
+        ref_chunks = [tm(torch.from_numpy(norm[:, s:e])).last_hidden_state[0]
+                      .numpy() for s, e in ref_bounds]
+    ref = np.concatenate(ref_chunks, axis=0)[:expected_t]
+
+    # (c) length contract
+    assert feats.shape == (expected_t, 64) and ref.shape[0] == expected_t
+    err = np.abs(feats - ref).max()
+    assert err < 5e-4, f"chunked hubert parity err {err}"
+
+
 def test_lfg_full_scale_converter():
     from LFG.modules.generator import Generator as TorchGenerator
     from dawn_tpu.models.lfg import LFGGenerator

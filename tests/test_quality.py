@@ -74,6 +74,45 @@ class TestLipProxy:
         assert hit["mouth_ssim"] < same["mouth_ssim"]
 
 
+class TestAVSyncProxy:
+    """Offset-sweep AV-sync proxy (VERDICT r3 #9): synced audio scores best
+    at offset 0; shifted audio scores worse."""
+
+    @staticmethod
+    def _synced_pair(t=60, size=32, seed=0):
+        r = np.random.RandomState(seed)
+        # audio activity: positive bursts; features random-walk with steps
+        # whose magnitude is the activity
+        act = np.abs(r.randn(t - 1)).astype(np.float32)
+        steps = r.randn(t - 1, 16).astype(np.float32)
+        steps *= (act / np.linalg.norm(steps, axis=-1))[:, None]
+        feats = np.concatenate([np.zeros((1, 16), np.float32),
+                                np.cumsum(steps, 0)])[None]       # (1, T, 16)
+        # video: mouth-region brightness takes steps proportional to the
+        # SAME activity (|I_{t+1} - I_t| over the mouth == audio activity)
+        v = np.full((1, t, size, size, 3), 0.5, np.float32)
+        lvl = 0.5 + np.cumsum(act * (-1.0) ** np.arange(t - 1)) * 0.01
+        v[0, 1:, int(size * .55): int(size * .85),
+          int(size * .3): int(size * .7), :] = lvl[:, None, None, None]
+        return v, feats
+
+    def test_synced_scores_best_at_zero(self):
+        from dawn_tpu.evaluate.quality import av_sync_proxy
+        v, feats = self._synced_pair()
+        rep = av_sync_proxy(v, feats)
+        assert rep["av_offset"] == 0, rep
+        assert rep["av_corr"] > 0.8, rep
+        assert rep["av_margin"] > 0.3, rep
+
+    def test_shifted_audio_scores_worse(self):
+        from dawn_tpu.evaluate.quality import av_sync_proxy
+        v, feats = self._synced_pair()
+        rep0 = av_sync_proxy(v, feats)
+        rep5 = av_sync_proxy(v, np.roll(feats, 5, axis=1))
+        assert rep5["av_corr"] < rep0["av_corr"] - 0.3, (rep0, rep5)
+        assert rep5["av_offset"] != 0, rep5
+
+
 class TestActionToMotionMetrics:
     """The round-2 gap (VERDICT missing #3): accuracy + multimodality from
     the action2motion suite the reference inherits."""
