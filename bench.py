@@ -163,6 +163,21 @@ def main():
     print(f"e2e sec per 10s video (250 frames): {250.0 * b / fps:.2f}s",
           file=sys.stderr)
 
+    # compiled peak-memory accounting (the reference's headline is "video
+    # length linearly related to VRAM", README.md:34-38 — BENCH_400f vs
+    # BENCH_800f pin the linearity on TPU)
+    peak_gb = 0.0
+    try:
+        ma = compiled.memory_analysis()
+        peak_gb = (float(ma.temp_size_in_bytes)
+                   + float(ma.argument_size_in_bytes)
+                   + float(ma.output_size_in_bytes)) / 1e9
+        print(f"compiled memory: temp {ma.temp_size_in_bytes/1e9:.2f} GB + "
+              f"args {ma.argument_size_in_bytes/1e9:.2f} GB + out "
+              f"{ma.output_size_in_bytes/1e9:.2f} GB", file=sys.stderr)
+    except Exception as e:
+        print(f"memory_analysis unavailable: {e}", file=sys.stderr)
+
     flops, bytes_acc = compiled_costs(compiled)
     tflops = flops / best / 1e12 if flops else 0.0
     mfu = 100.0 * tflops / V5E_PEAK_TFLOPS_BF16
@@ -191,6 +206,7 @@ def main():
         "mfu_pct": round(mfu, 2),
         "hbm_gbps": round(gbps, 1),
         "hbm_pct": round(hbm_pct, 1),
+        "peak_mem_gb": round(peak_gb, 2),
     }
     line = json.dumps(result)
     print(line)
