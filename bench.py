@@ -68,6 +68,11 @@ def main():
                          "default; full = the reference's O(T^2) windowed "
                          "full attention")
     ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
+    ap.add_argument("--lfg-dtype", default=None, choices=["f32", "bf16"],
+                    help="LFG decode compute dtype (default: f32 at 128^2 "
+                         "where the decode is warp/gather-bound and bf16 "
+                         "measured ~2%% slower; bf16 at 256^2 where the "
+                         "decode is conv-FLOP-bound)")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--batch", type=int, default=1,
                     help="identities generated per call (multi-identity "
@@ -107,12 +112,17 @@ def main():
     chunk = args.lfg_decode_chunk
     if chunk is None:
         chunk = 0 if args.img_size <= 128 else 16
+    lfg_dtype = args.lfg_dtype
+    if lfg_dtype is None:
+        lfg_dtype = "f32" if args.img_size <= 128 else "bf16"
     cfg = FlowDiffusionConfig(img_size=args.img_size,
                               sampling_timesteps=args.steps,
                               win_width=40,
                               attn_mode=args.attn,
                               lfg_decode_chunk=chunk,
                               dtype=jnp.bfloat16 if args.dtype == "bf16"
+                              else jnp.float32,
+                              lfg_dtype=jnp.bfloat16 if lfg_dtype == "bf16"
                               else jnp.float32)
     model = FlowDiffusion(cfg)
 

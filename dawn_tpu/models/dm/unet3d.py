@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 import flax.linen as nn
 
-from dawn_tpu.ops.norms import channel_layer_norm
+from dawn_tpu.ops.norms import channel_layer_norm, channel_layer_norm_core
 from dawn_tpu.ops.rotary import (apply_rotary, apply_rotary_flat,
                                  flat_rotary_constants, rotary_cos_sin)
 from dawn_tpu.ops.t5bias import t5_bias_matrix, window_mask, t5_bias_windowed_vector
@@ -57,13 +57,17 @@ class ChanLayerNorm(nn.Module):
     """Channel LayerNorm with gamma only (reference LayerNorm / LayerNorm_img).
 
     Statistics are computed in float32 regardless of the activation dtype
-    (bf16-safe), output matches the input dtype.
+    (bf16-safe), output matches the input dtype. ``core`` optionally
+    supplies the precomputed gamma-free normalized f32 tensor
+    (channel_layer_norm_core) so branches normalizing the SAME input share
+    one stats pass (fused 3-way condition cross-attention).
     """
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, core: Optional[jax.Array] = None):
         gamma = self.param("gamma", nn.initializers.ones, (x.shape[-1],))
-        y = channel_layer_norm(x.astype(jnp.float32), gamma)
-        return y.astype(x.dtype)
+        if core is None:
+            core = channel_layer_norm_core(x.astype(jnp.float32))
+        return (core * gamma).astype(x.dtype)
 
 
 class VideoGroupNorm(nn.Module):
@@ -144,21 +148,13 @@ def cond_cross_natural(q, k, v, null_kv, q_scale, k_scale, heads, dim_head,
     return jnp.einsum("nhsk,nkhd->nshd", attn, v).reshape(n, s, inner)
 
 
-def cond_cross_packed(q, k, v, null_kv, q_scale, k_scale, heads, dim_head,
-                      scale, dtype):
-    """Same math with heads in the lane dim end-to-end.
-
-    The context is ONE token, so keys = {null, cond} and the softmax is a
-    2-way mix: compute both per-head logits as grouped lane reductions
-    (elementwise product @ head-group matrix), blend v/null_v with the two
-    probabilities expanded back to lanes. Zero transposes, zero 5-D
-    reshapes; exactly equal to :func:`cond_cross_natural` up to f32
-    rounding (parity-tested)."""
+def cond_cross_packed_flat(q, k, v, nk_f, nv_f, qs_f, ks_f, heads, dim_head,
+                           scale, dtype):
+    """Packed 2-key cross-attention core with PRE-FLATTENED per-lane
+    constants (each (heads*dim_head,)) — lets the fused 3-way condition
+    path run 3 branches as one 3*heads-head call with per-branch scales."""
     gmat = jnp.asarray(_head_group_matrix(heads, dim_head), jnp.float32)
-    qs_f = jnp.tile(q_scale, heads)
-    ks_f = jnp.tile(k_scale, heads)
-    nk_f = jnp.tile(null_kv[0], heads)
-    nv_f = jnp.tile(null_kv[1], heads).astype(dtype)
+    nv_f = nv_f.astype(dtype)
 
     qn = (_l2norm_grouped(q.astype(jnp.float32), gmat) * qs_f).astype(dtype)
     kn = (_l2norm_grouped(k.astype(jnp.float32), gmat) * ks_f).astype(dtype)
@@ -174,6 +170,22 @@ def cond_cross_packed(q, k, v, null_kv, q_scale, k_scale, heads, dim_head,
     p0 = ((e0 * inv) @ gmat.T).astype(dtype)                  # (N, S, H*D)
     p1 = ((e1 * inv) @ gmat.T).astype(dtype)
     return p0 * nv_f + p1 * v[:, None, :]
+
+
+def cond_cross_packed(q, k, v, null_kv, q_scale, k_scale, heads, dim_head,
+                      scale, dtype):
+    """Same math with heads in the lane dim end-to-end.
+
+    The context is ONE token, so keys = {null, cond} and the softmax is a
+    2-way mix: compute both per-head logits as grouped lane reductions
+    (elementwise product @ head-group matrix), blend v/null_v with the two
+    probabilities expanded back to lanes. Zero transposes, zero 5-D
+    reshapes; exactly equal to :func:`cond_cross_natural` up to f32
+    rounding (parity-tested)."""
+    return cond_cross_packed_flat(
+        q, k, v, jnp.tile(null_kv[0], heads), jnp.tile(null_kv[1], heads),
+        jnp.tile(q_scale, heads), jnp.tile(k_scale, heads), heads, dim_head,
+        scale, dtype)
 
 
 class CondCrossAttention(nn.Module):
@@ -197,28 +209,76 @@ class CondCrossAttention(nn.Module):
     scale: float = 8.0
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
-        n, s, _ = x.shape
+    def setup(self):
         inner = self.dim_head * self.heads
-        x = ChanLayerNorm(name="norm")(x)
+        self.norm = ChanLayerNorm()
+        self.to_q = nn.Dense(inner, use_bias=False, dtype=self.dtype)
+        self.to_kv = nn.Dense(inner * 2, use_bias=False, dtype=self.dtype)
+        self.null_kv = self.param("null_kv", nn.initializers.normal(1.0),
+                                  (2, self.dim_head))
+        self.q_scale = self.param("q_scale", nn.initializers.ones,
+                                  (self.dim_head,))
+        self.k_scale = self.param("k_scale", nn.initializers.ones,
+                                  (self.dim_head,))
+        self.to_out = nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype)
+        self.out_norm = ChanLayerNorm()
 
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        kv = nn.Dense(inner * 2, use_bias=False, dtype=self.dtype,
-                      name="to_kv")(context)
-        k, v = jnp.split(kv, 2, axis=-1)
+    def branch_qkv(self, x: jax.Array, core: Optional[jax.Array],
+                   context: jax.Array):
+        """This branch's q/k/v + per-lane flattened constants, for the fused
+        3-way path (ResnetBlockCaMul): the caller concatenates three
+        branches along the head axis and runs ONE packed 2-key softmax."""
+        xn = self.norm(x, core=core)
+        q = self.to_q(xn)
+        k, v = jnp.split(self.to_kv(context), 2, axis=-1)
+        return (q, k, v, jnp.tile(self.null_kv[0], self.heads),
+                jnp.tile(self.null_kv[1], self.heads),
+                jnp.tile(self.q_scale, self.heads),
+                jnp.tile(self.k_scale, self.heads))
 
-        null_kv = self.param("null_kv", nn.initializers.normal(1.0), (2, self.dim_head))
-        q_scale = self.param("q_scale", nn.initializers.ones, (self.dim_head,))
-        k_scale = self.param("k_scale", nn.initializers.ones, (self.dim_head,))
+    def branch_out(self, attn_out: jax.Array) -> jax.Array:
+        return self.out_norm(self.to_out(attn_out))
 
+    def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
+        xn = self.norm(x)
+        q = self.to_q(xn)
+        k, v = jnp.split(self.to_kv(context), 2, axis=-1)
         fn = (cond_cross_packed if jax.default_backend() == "tpu"
               else cond_cross_natural)
-        out = fn(q, k, v, null_kv, q_scale, k_scale, self.heads,
-                 self.dim_head, self.scale, self.dtype)
-        out = nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype,
-                       name="to_out")(out)
-        return ChanLayerNorm(name="out_norm")(out)
+        out = fn(q, k, v, self.null_kv, self.q_scale, self.k_scale,
+                 self.heads, self.dim_head, self.scale, self.dtype)
+        return self.branch_out(out)
+
+
+def fused_triple_cond_cross(mods, tokens, ctxs, dtype):
+    """The three condition cross-attentions of a ResnetBlockCaMul as ONE
+    packed computation.
+
+    All three branches (audio/pose/eye, reference :459-463) attend the SAME
+    spatial tokens to a single context token each; they differ only in
+    weights. Fused: one shared layer-norm stats pass
+    (channel_layer_norm_core — each branch applies only its gamma), one
+    3*heads-head 2-key packed softmax over the concatenated q/k/v lanes
+    (cond_cross_packed_flat with per-branch scale/null vectors), then the
+    per-branch output projections summed. Exactly equal to the sum of three
+    separate branches up to f32 rounding (parity-tested,
+    tests/test_dm_smoke.py).
+    """
+    heads, dim_head = mods[0].heads, mods[0].dim_head
+    core = channel_layer_norm_core(tokens.astype(jnp.float32))
+    qs, ks, vs, nks, nvs, qss, kss = [], [], [], [], [], [], []
+    for m, ctx in zip(mods, ctxs):
+        q, k, v, nk, nv, qsc, ksc = m.branch_qkv(tokens, core, ctx)
+        qs.append(q), ks.append(k), vs.append(v)
+        nks.append(nk), nvs.append(nv), qss.append(qsc), kss.append(ksc)
+    out = cond_cross_packed_flat(
+        jnp.concatenate(qs, -1), jnp.concatenate(ks, -1),
+        jnp.concatenate(vs, -1), jnp.concatenate(nks, -1),
+        jnp.concatenate(nvs, -1), jnp.concatenate(qss, -1),
+        jnp.concatenate(kss, -1), len(mods) * heads, dim_head,
+        mods[0].scale, dtype)
+    outs = jnp.split(out, len(mods), axis=-1)
+    return sum(m.branch_out(o) for m, o in zip(mods, outs))
 
 
 class ResnetBlockCaMul(nn.Module):
@@ -235,6 +295,11 @@ class ResnetBlockCaMul(nn.Module):
     cond_eye: Optional[int] = None
     groups: int = 8
     dtype: Any = jnp.float32
+    # None = fuse the 3 condition cross-attentions into one packed call on
+    # the TPU backend (shared layer-norm stats pass, one 24-head 2-key
+    # softmax instead of three 8-head ones); True/False force either path.
+    # Both paths share identical params and are parity-tested.
+    fuse_cond: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, time_emb: Optional[jax.Array] = None,
@@ -259,16 +324,19 @@ class ResnetBlockCaMul(nn.Module):
                            name="eye_mlp")(jax.nn.silu(eye))
 
             tokens = x.reshape(b * t, h * w, c)
-            ha = CondCrossAttention(self.features, dtype=self.dtype,
-                                    name="cross_attn_aud")(
-                tokens, aud.reshape(b * t, -1))
-            hp = CondCrossAttention(self.features, dtype=self.dtype,
-                                    name="cross_attn_pose")(
-                tokens, pose.reshape(b * t, -1))
-            he = CondCrossAttention(self.features, dtype=self.dtype,
-                                    name="cross_attn_eye")(
-                tokens, eye.reshape(b * t, -1))
-            h_cond = (ha + hp + he).reshape(b, t, h, w, self.features)
+            mods = [CondCrossAttention(self.features, dtype=self.dtype,
+                                       name=f"cross_attn_{k}")
+                    for k in ("aud", "pose", "eye")]
+            ctxs = [z.reshape(b * t, -1) for z in (aud, pose, eye)]
+            fuse = (jax.default_backend() == "tpu"
+                    if self.fuse_cond is None else self.fuse_cond)
+            if fuse:
+                h_cond = fused_triple_cond_cross(
+                    mods, tokens, ctxs, self.dtype).reshape(
+                        b, t, h, w, self.features)
+            else:
+                h_cond = sum(m(tokens, ctx) for m, ctx in zip(mods, ctxs)
+                             ).reshape(b, t, h, w, self.features)
 
         y = Block(self.features, self.groups, dtype=self.dtype,
                   name="block1")(x, scale_shift)
@@ -320,16 +388,43 @@ def spatial_linear_packed(q, k, v, heads: int, dim_head: int, dtype):
     block-diagonal masks. The masked (C, C) contraction pair does heads x
     the per-head FLOPs but zero transposes; exactly equal to
     :func:`spatial_linear_natural` up to f32 rounding (parity-tested).
+
+    Memory shape: the softmaxes are decomposed so each side materializes
+    ONE exp tensor in the compute dtype and every normalizer rides a
+    matmul — softmax(k) never exists as a tensor (its denominator divides
+    the (C, C) context instead: ctx[d, e] = sum_s e_k v / Z[d]), and the
+    q-group normalizer is applied to the OUTPUT (out * (1/den)@g^T),
+    which XLA fuses with the final dot. The previous jax.nn.softmax
+    formulation materialized 4-5 f32 (n, s, C) tensors (each consumed
+    twice, which blocks XLA fusion); this one writes 2 bf16 ones.
     """
     gmat = jnp.asarray(_head_group_matrix(heads, dim_head), jnp.float32)
-    q = (_grouped_softmax_lanes(q.astype(jnp.float32), gmat)
-         * (dim_head ** -0.5)).astype(dtype)
-    k = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(dtype)
+    gmat_d = gmat.astype(dtype)
+    # q side: exp(q - global row max) — grouped-softmax invariance (see
+    # _grouped_softmax_lanes); normalizer deferred to the output
+    qf = q.astype(jnp.float32)
+    eq = jnp.exp(qf - jnp.max(qf, axis=-1, keepdims=True)).astype(dtype)
+    den = jnp.maximum(jax.lax.dot_general(
+        eq, gmat_d, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32),
+        jnp.finfo(jnp.float32).tiny)                       # (n, s, heads)
+    # k side: exp(k - per-lane max over s); Z joins the ctx contraction as
+    # a ones column of v so softmax(k) is never materialized
+    kf = k.astype(jnp.float32)
+    ek = jnp.exp(kf - jnp.max(kf, axis=1, keepdims=True)).astype(dtype)
+    v1 = jnp.concatenate([v, jnp.ones_like(v[..., :1])], axis=-1)
+    ctx1 = jnp.einsum("nsd,nse->nde", ek, v1,
+                      preferred_element_type=jnp.float32)  # (n, C, C+1)
+    z = jnp.maximum(ctx1[..., -1:], jnp.finfo(jnp.float32).tiny)
     bd = jnp.asarray(
         np.kron(np.eye(heads, dtype=np.float32),
                 np.ones((dim_head, dim_head), np.float32)), dtype)
-    ctx = jnp.einsum("nsd,nse->nde", k, v) * bd
-    return jnp.einsum("nsd,nde->nse", q, ctx)
+    ctx = ((ctx1[..., :-1] / z) * bd).astype(dtype)
+    out = jnp.einsum("nsd,nde->nse", eq, ctx,
+                     preferred_element_type=jnp.float32)
+    scale = dim_head ** -0.5
+    return (out * scale * jax.lax.dot_general(
+        1.0 / den, gmat.T, (((2,), (0,)), ((), ())))).astype(dtype)
 
 
 def spatial_linear_natural(q, k, v, heads: int, dim_head: int, dtype):
@@ -363,6 +458,7 @@ class SpatialLinearAttention(nn.Module):
     heads: int = 8
     dim_head: int = 32
     dtype: Any = jnp.float32
+    force_natural: bool = False     # probe/A-B hook: natural layout on TPU
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -373,7 +469,7 @@ class SpatialLinearAttention(nn.Module):
                       name="to_qkv")(y)
         q, k, v = jnp.split(qkv.reshape(b * t, h * w, 3 * hidden), 3, axis=-1)
 
-        if jax.default_backend() == "tpu":
+        if jax.default_backend() == "tpu" and not self.force_natural:
             out = spatial_linear_packed(q, k, v, self.heads, self.dim_head,
                                         self.dtype)
         else:

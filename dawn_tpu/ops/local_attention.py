@@ -268,8 +268,37 @@ def _full_bias(heads: int, t: int, tq: int, tk: int, window: int,
     return bias_vec[:, idx] + jnp.asarray(mask)[None]
 
 
+def _packed_query_chunks(t: int, tq: int, tk: int, window: int) -> tuple:
+    """Partition the padded query axis by which 128-lane key tiles each
+    query's ±window band touches. Returns ((q0, q1, k0, k1), ...): rows
+    [q0, q1) of the sublane-padded query axis attend key lanes [k0, k1).
+
+    The VPU softmax chain over score entries is the kernel's bottleneck
+    (see ``local_attention`` docstring), and entries = sum of chunk areas.
+    At two key tiles (128 < T <= 256) the band structure splits queries
+    three ways — rows below 128-w never see tile 1, rows above 128+w never
+    see tile 0 — at SUBLANE (8-row) granularity, which the 128-LANE key
+    tiling cannot express: 36.9k entries/row-head vs the single-chunk
+    53.2k at T=200/w=40 (-31%). Chunk boundaries round outward to sublane
+    multiples so every output row is written exactly once and each chunk's
+    band stays inside its key slice."""
+    if t <= 128 or tk <= 128 or tk > 256:
+        return ((0, tq, 0, tk),)
+    a_end = max(0, (128 - window) // 8 * 8)
+    b_end = min(tq, -(-(128 + window) // 8) * 8)
+    chunks = []
+    if a_end > 0:
+        chunks.append((0, a_end, 0, 128))
+    if b_end > a_end:
+        chunks.append((a_end, b_end, 0, tk))
+    if tq > b_end:
+        chunks.append((b_end, tq, 128, tk))
+    return tuple(chunks)
+
+
 def _local_attn_packed_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *,
-                              hb: int, dh: int):
+                              hb: int, dh: int,
+                              chunks: tuple = None, tq: int = 0, tk: int = 0):
     """Whole-sequence fused attention for a 128-lane group of heads.
 
     Blocks are (G, t*, hb*dh=128) lane-slices of the NATURAL
@@ -282,26 +311,33 @@ def _local_attn_packed_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *,
     output instead of the (tq, tk) probabilities — the VPU elementwise
     chain over the score tile IS the bottleneck at production shapes (a 4x
     MXU-FLOP variant measured the same 18.4 ms/op), so every per-entry op
-    trimmed is ~12% off the kernel."""
+    trimmed is ~12% off the kernel. ``chunks`` (static, from
+    :func:`_packed_query_chunks`) splits the query axis so each chunk's
+    score tile covers only the key tiles its band touches — per-chunk
+    softmax is exact because a chunk's whole ±window band lies inside its
+    key slice (out-of-slice entries are NEG_INF by construction)."""
+    if not chunks:
+        chunks = ((0, tq, 0, tk),)
     q = q_ref[:]
     k = k_ref[:]
     v = v_ref[:]
-    outs = []
-    for i in range(hb):
-        sl = slice(i * dh, (i + 1) * dh)
-        s = jax.lax.dot_general(q[:, :, sl], k[:, :, sl],
-                                (((2,), (2,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32)
-        s = s + bias_ref[i][None]
-        s = s - s.max(axis=-1, keepdims=True)
-        p = jnp.exp(s)
-        den = p.sum(axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(v.dtype), v[:, :, sl], (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        outs.append(o / den)
-    # one full-lane store instead of hb partial 32-lane stores
-    o_ref[:] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+    for (q0, q1, k0, k1) in chunks:
+        outs = []
+        for i in range(hb):
+            sl = slice(i * dh, (i + 1) * dh)
+            s = jax.lax.dot_general(q[:, q0:q1, sl], k[:, k0:k1, sl],
+                                    (((2,), (2,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
+            s = s + bias_ref[i][q0:q1, k0:k1][None]
+            s = s - s.max(axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            den = p.sum(axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(v.dtype), v[:, k0:k1, sl], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            outs.append(o / den)
+        # one full-lane store per chunk instead of hb partial 32-lane stores
+        o_ref[:, q0:q1, :] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
 PACKED_MAX_T = 256
@@ -378,7 +414,8 @@ def local_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
 
     qspec = pl.BlockSpec((g, tq, hb * dh), lambda hh, s: (s, 0, hh))
     kvspec = pl.BlockSpec((g, tk, hb * dh), lambda hh, s: (s, 0, hh))
-    kernel = functools.partial(_local_attn_packed_kernel, hb=hb, dh=dh)
+    kernel = functools.partial(_local_attn_packed_kernel, hb=hb, dh=dh,
+                               chunks=_packed_query_chunks(t, tq, tk, window))
     out = pl.pallas_call(
         kernel,
         grid=(heads // hb, n // g),
@@ -431,7 +468,8 @@ def local_attention_packed_stripe(q: jax.Array, k: jax.Array, v: jax.Array,
 
     qspec = pl.BlockSpec((g, tq, hb * dh), lambda hh, s: (s, 0, hh))
     kvspec = pl.BlockSpec((g, tk, hb * dh), lambda hh, s: (s, 0, hh))
-    kernel = functools.partial(_local_attn_packed_kernel, hb=hb, dh=dh)
+    kernel = functools.partial(_local_attn_packed_kernel, hb=hb, dh=dh,
+                               tq=tq, tk=tk)
     out = pl.pallas_call(
         kernel,
         grid=(heads // hb, n // g),

@@ -27,15 +27,23 @@ def group_norm(x: jax.Array, num_groups: int, weight: jax.Array,
     return x * weight + bias
 
 
+def channel_layer_norm_core(x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """The gamma-free core of :func:`channel_layer_norm`:
+    (x - mean) * rsqrt(var + eps). Shared by the fused 3-way condition
+    cross-attention, whose three branches normalize the SAME tokens and
+    differ only in gamma (unet3d.ResnetBlockCaMul)."""
+    mean = x.mean(axis=-1, keepdims=True)
+    var = jnp.square(x - mean).mean(axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
 def channel_layer_norm(x: jax.Array, gamma: jax.Array, eps: float = 1e-5) -> jax.Array:
     """LayerNorm over the channel (last) axis with gamma only, biased variance.
 
     Matches the UNet's LayerNorm (over torch dim=1, our last dim):
     (x - mean) / sqrt(var + eps) * gamma.
     """
-    mean = x.mean(axis=-1, keepdims=True)
-    var = jnp.square(x - mean).mean(axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * gamma
+    return channel_layer_norm_core(x, eps) * gamma
 
 
 def layer_norm(x: jax.Array, weight: jax.Array, bias: jax.Array,

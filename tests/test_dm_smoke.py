@@ -129,6 +129,33 @@ class TestUnet3D:
                 np.asarray(a, np.float32), np.asarray(b, np.float32),
                 atol=atol, err_msg=str(dtype))
 
+    def test_fused_triple_cond_cross_matches_separate(self):
+        """The fused 3-way condition cross-attention (shared layer-norm
+        stats pass + one 24-head 2-key packed softmax) against three
+        separate CondCrossAttention calls, SAME params."""
+        import jax
+        from dawn_tpu.models.dm.unet3d import ResnetBlockCaMul
+
+        rs = np.random.RandomState(13)
+        b, t, h, w, c = 1, 3, 4, 4, 16
+        x = jnp.asarray(rs.randn(b, t, h, w, c), jnp.float32)
+        temb = jnp.asarray(rs.randn(b, 32), jnp.float32)
+        cond = jnp.asarray(rs.randn(b, t, 1024 + 6 + 2), jnp.float32)
+
+        kw = dict(features=c, time_emb_dim=32, cond_aud=1024, cond_pose=6,
+                  cond_eye=2)
+        sep = ResnetBlockCaMul(**kw, fuse_cond=False)
+        fused = ResnetBlockCaMul(**kw, fuse_cond=True)
+        variables = jax.jit(sep.init)(jax.random.PRNGKey(3), x, temb, cond)
+        # identical param trees (the fused path touches the same children)
+        vf = jax.jit(fused.init)(jax.random.PRNGKey(3), x, temb, cond)
+        assert (jax.tree_util.tree_structure(variables)
+                == jax.tree_util.tree_structure(vf))
+
+        a = sep.apply(variables, x, temb, cond)
+        f = fused.apply(variables, x, temb, cond)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(f), atol=2e-5)
+
     def test_static_split_matches_full(self, unet_and_params):
         """precomputed static init_conv term + 3-channel step == full
         275-channel conv (SplitInitConv linearity — the DDIM-scan

@@ -182,6 +182,46 @@ class TestPackedKernel:
         got = got.reshape(n, t, h, d).transpose(0, 2, 1, 3)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
+    def test_query_chunk_invariants(self):
+        """_packed_query_chunks: exact row cover, sublane alignment, and
+        band containment (each chunk's ±window band inside its key slice)."""
+        from dawn_tpu.ops.local_attention import _packed_query_chunks
+
+        for t in (130, 136, 160, 168, 200, 255, 256):
+            for w in (8, 20, 30, 40, 63):
+                tq = 8 * -(-t // 8)
+                tk = 128 * -(-t // 128)
+                chunks = _packed_query_chunks(t, tq, tk, w)
+                # exact, ordered, non-overlapping cover of [0, tq)
+                assert chunks[0][0] == 0 and chunks[-1][1] == tq, (t, w, chunks)
+                for (a, b) in zip(chunks, chunks[1:]):
+                    assert a[1] == b[0], (t, w, chunks)
+                for (q0, q1, k0, k1) in chunks:
+                    assert q0 % 8 == 0 and (q1 % 8 == 0 or q1 == tq)
+                    assert k0 % 128 == 0 and (k1 % 128 == 0 or k1 == tk)
+                    # band containment for REAL query rows of this chunk
+                    for i in (q0, min(q1, t) - 1):
+                        if i >= t or i >= q1:
+                            continue
+                        assert max(i - w, 0) >= k0, (t, w, i, chunks)
+                        assert min(i + w, t - 1) < k1, (t, w, i, chunks)
+
+    def test_interpret_chunk_boundaries(self):
+        """Chunked kernel parity at Ts that hit empty/ragged chunks:
+        160 (no tile-1-only chunk), 136, 256, and an unaligned window."""
+        from dawn_tpu.ops.local_attention import local_attention_packed
+        for t, w in ((160, 40), (136, 20), (256, 40), (200, 30)):
+            n, h, d = 1, 4, 32
+            q, k, v, emb = _make_inputs(n, h, t, d)
+            vec = t5_bias_windowed_vector(emb, w, 32, 32)
+            ref = local_attention_banded(q, k, v, vec, w)
+            got = local_attention_packed(self._pack(q), self._pack(k),
+                                         self._pack(v), vec, w, heads=h,
+                                         interpret=True)
+            got = got.reshape(n, t, h, d).transpose(0, 2, 1, 3)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-5, err_msg=f"t={t} w={w}")
+
     def test_no_bias(self):
         from dawn_tpu.ops.local_attention import local_attention_packed
         n, h, t, d, w = 1, 2, 50, 16, 10
