@@ -68,6 +68,9 @@ def main():
                          "default; full = the reference's O(T^2) windowed "
                          "full attention")
     ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
+    ap.add_argument("--fuse-cond", default=None, choices=["on", "off"],
+                    help="force the fused 3-way condition cross-attention "
+                         "on/off (default: fused on TPU) — A/B hook")
     ap.add_argument("--lfg-dtype", default=None, choices=["f32", "bf16"],
                     help="LFG decode compute dtype (default: f32 at 128^2 "
                          "where the decode is warp/gather-bound and bf16 "
@@ -119,6 +122,8 @@ def main():
                               sampling_timesteps=args.steps,
                               win_width=40,
                               attn_mode=args.attn,
+                              fuse_cond=(None if args.fuse_cond is None
+                                         else args.fuse_cond == "on"),
                               lfg_decode_chunk=chunk,
                               dtype=jnp.bfloat16 if args.dtype == "bf16"
                               else jnp.float32,

@@ -75,6 +75,8 @@ class FlowDiffusionConfig:
     null_cond_prob: float = 0.1
     use_residual_flow: bool = False
     attn_mode: str = "full"           # 'full' | 'local' | 'pallas'
+    fuse_cond: Optional[bool] = None  # fuse the 3 condition cross-attns
+                                      # (measured net e2e loss; A/B hook)
     dim_mults: Tuple[int, ...] = (1, 2, 4, 8)
     dtype: Any = jnp.float32       # UNet compute dtype (bf16 = ~30% faster)
     lfg_dtype: Any = jnp.float32   # LFG decode is warp/gather-bound: bf16
@@ -109,6 +111,7 @@ class FlowDiffusion:
                            cond_pose=config.pose_dim,
                            win_width=config.win_width,
                            attn_mode=config.attn_mode,
+                           fuse_cond=config.fuse_cond,
                            dtype=config.dtype)
         self.diffusion = GaussianDiffusion(
             timesteps=1000,

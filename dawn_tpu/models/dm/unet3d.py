@@ -295,10 +295,12 @@ class ResnetBlockCaMul(nn.Module):
     cond_eye: Optional[int] = None
     groups: int = 8
     dtype: Any = jnp.float32
-    # None = fuse the 3 condition cross-attentions into one packed call on
-    # the TPU backend (shared layer-norm stats pass, one 24-head 2-key
-    # softmax instead of three 8-head ones); True/False force either path.
-    # Both paths share identical params and are parity-tested.
+    # True = fuse the 3 condition cross-attentions into one packed call
+    # (shared layer-norm stats pass, one 24-head 2-key softmax instead of
+    # three 8-head ones). Both paths share identical params and are
+    # parity-tested. Default OFF: e2e on v5e the fusion measured a NET LOSS
+    # (46.8 -> 46.0 fps at 256^2, 2026-08-19) — the 3-way q/k/v lane
+    # concats add more HBM traffic than the shared stats pass saves.
     fuse_cond: Optional[bool] = None
 
     @nn.compact
@@ -328,8 +330,7 @@ class ResnetBlockCaMul(nn.Module):
                                        name=f"cross_attn_{k}")
                     for k in ("aud", "pose", "eye")]
             ctxs = [z.reshape(b * t, -1) for z in (aud, pose, eye)]
-            fuse = (jax.default_backend() == "tpu"
-                    if self.fuse_cond is None else self.fuse_cond)
+            fuse = bool(self.fuse_cond)
             if fuse:
                 h_cond = fused_triple_cond_cross(
                     mods, tokens, ctxs, self.dtype).reshape(
@@ -389,42 +390,22 @@ def spatial_linear_packed(q, k, v, heads: int, dim_head: int, dtype):
     the per-head FLOPs but zero transposes; exactly equal to
     :func:`spatial_linear_natural` up to f32 rounding (parity-tested).
 
-    Memory shape: the softmaxes are decomposed so each side materializes
-    ONE exp tensor in the compute dtype and every normalizer rides a
-    matmul — softmax(k) never exists as a tensor (its denominator divides
-    the (C, C) context instead: ctx[d, e] = sum_s e_k v / Z[d]), and the
-    q-group normalizer is applied to the OUTPUT (out * (1/den)@g^T),
-    which XLA fuses with the final dot. The previous jax.nn.softmax
-    formulation materialized 4-5 f32 (n, s, C) tensors (each consumed
-    twice, which blocks XLA fusion); this one writes 2 bf16 ones.
+    A matmul-borne-normalizer variant (exp kept in bf16, softmax(k) folded
+    into the context contraction via a ones column) measured SLOWER on v5e
+    at the 256^2 top-level shape — 18.3 vs 14.4 ms module time (probe_micro,
+    2026-08-19): the ones-column concat materializes a padded (C, C+1)
+    operand and the twice-consumed exp still can't fuse. Keeping the
+    jax.nn.softmax formulation.
     """
     gmat = jnp.asarray(_head_group_matrix(heads, dim_head), jnp.float32)
-    gmat_d = gmat.astype(dtype)
-    # q side: exp(q - global row max) — grouped-softmax invariance (see
-    # _grouped_softmax_lanes); normalizer deferred to the output
-    qf = q.astype(jnp.float32)
-    eq = jnp.exp(qf - jnp.max(qf, axis=-1, keepdims=True)).astype(dtype)
-    den = jnp.maximum(jax.lax.dot_general(
-        eq, gmat_d, (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32),
-        jnp.finfo(jnp.float32).tiny)                       # (n, s, heads)
-    # k side: exp(k - per-lane max over s); Z joins the ctx contraction as
-    # a ones column of v so softmax(k) is never materialized
-    kf = k.astype(jnp.float32)
-    ek = jnp.exp(kf - jnp.max(kf, axis=1, keepdims=True)).astype(dtype)
-    v1 = jnp.concatenate([v, jnp.ones_like(v[..., :1])], axis=-1)
-    ctx1 = jnp.einsum("nsd,nse->nde", ek, v1,
-                      preferred_element_type=jnp.float32)  # (n, C, C+1)
-    z = jnp.maximum(ctx1[..., -1:], jnp.finfo(jnp.float32).tiny)
+    q = (_grouped_softmax_lanes(q.astype(jnp.float32), gmat)
+         * (dim_head ** -0.5)).astype(dtype)
+    k = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(dtype)
     bd = jnp.asarray(
         np.kron(np.eye(heads, dtype=np.float32),
                 np.ones((dim_head, dim_head), np.float32)), dtype)
-    ctx = ((ctx1[..., :-1] / z) * bd).astype(dtype)
-    out = jnp.einsum("nsd,nde->nse", eq, ctx,
-                     preferred_element_type=jnp.float32)
-    scale = dim_head ** -0.5
-    return (out * scale * jax.lax.dot_general(
-        1.0 / den, gmat.T, (((2,), (0,)), ((), ())))).astype(dtype)
+    ctx = jnp.einsum("nsd,nse->nde", k, v) * bd
+    return jnp.einsum("nsd,nde->nse", q, ctx)
 
 
 def spatial_linear_natural(q, k, v, heads: int, dim_head: int, dtype):
@@ -803,6 +784,9 @@ class Unet3D(nn.Module):
     seq_mesh: Optional[Any] = None
     seq_axis: str = "seq"
     seq_use_pallas: Optional[bool] = None
+    # True = fuse the 3 condition cross-attentions (measured net e2e loss
+    # on v5e — see ResnetBlockCaMul.fuse_cond; kept as an A/B hook)
+    fuse_cond: Optional[bool] = None
 
     @property
     def cond_dim(self) -> int:
@@ -893,7 +877,8 @@ class Unet3D(nn.Module):
 
         cond_kw = dict(time_emb_dim=time_dim, cond_aud=self.cond_aud,
                        cond_pose=self.cond_pose, cond_eye=self.cond_eye,
-                       groups=self.resnet_groups, dtype=self.dtype)
+                       groups=self.resnet_groups, dtype=self.dtype,
+                       fuse_cond=self.fuse_cond)
 
         hs = []
         for ind, (_, dim_out) in enumerate(in_out):

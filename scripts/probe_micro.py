@@ -148,10 +148,16 @@ def main():
     cond_f = jnp.asarray(rng.randn(b, t, 1032), jnp.float32)
     temb = jnp.asarray(rng.randn(b, 256), jnp.float32)
     rb = U.ResnetBlockCaMul(features=c, time_emb_dim=256, cond_aud=1024,
-                            cond_pose=6, cond_eye=2, dtype=dt)
+                            cond_pose=6, cond_eye=2, dtype=dt,
+                            fuse_cond=True)
     rbv = jax.jit(rb.init)(jax.random.PRNGKey(7), x5, temb, cond_f)
     scan_bench(lambda x: rb.apply(rbv, x, temb, cond_f), x5,
-               "resnet-ca-mul module")
+               "resnet-ca-mul module (fused cond)")
+    rbs = U.ResnetBlockCaMul(features=c, time_emb_dim=256, cond_aud=1024,
+                             cond_pose=6, cond_eye=2, dtype=dt,
+                             fuse_cond=False)
+    scan_bench(lambda x: rbs.apply(rbv, x, temb, cond_f), x5,
+               "resnet-ca-mul module (separate cond)")
 
 
 if __name__ == "__main__":
