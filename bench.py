@@ -71,11 +71,12 @@ def main():
     ap.add_argument("--fuse-cond", default=None, choices=["on", "off"],
                     help="force the fused 3-way condition cross-attention "
                          "on/off (default: fused on TPU) — A/B hook")
-    ap.add_argument("--lfg-dtype", default=None, choices=["f32", "bf16"],
-                    help="LFG decode compute dtype (default: f32 at 128^2 "
-                         "where the decode is warp/gather-bound and bf16 "
-                         "measured ~2%% slower; bf16 at 256^2 where the "
-                         "decode is conv-FLOP-bound)")
+    ap.add_argument("--lfg-dtype", default="f32", choices=["f32", "bf16"],
+                    help="LFG decode compute dtype. f32 measured faster at "
+                         "BOTH resolutions (bf16: -2%% at 128^2, 46.2 vs "
+                         "46.8 fps at 256^2, 2026-08-19) — the decode is "
+                         "warp/gather-bound, not conv-bound, and bf16 "
+                         "gathers relayout worse")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--batch", type=int, default=1,
                     help="identities generated per call (multi-identity "
@@ -116,8 +117,6 @@ def main():
     if chunk is None:
         chunk = 0 if args.img_size <= 128 else 16
     lfg_dtype = args.lfg_dtype
-    if lfg_dtype is None:
-        lfg_dtype = "f32" if args.img_size <= 128 else "bf16"
     cfg = FlowDiffusionConfig(img_size=args.img_size,
                               sampling_timesteps=args.steps,
                               win_width=40,

@@ -80,7 +80,9 @@ class FlowDiffusionConfig:
     dim_mults: Tuple[int, ...] = (1, 2, 4, 8)
     dtype: Any = jnp.float32       # UNet compute dtype (bf16 = ~30% faster)
     lfg_dtype: Any = jnp.float32   # LFG decode is warp/gather-bound: bf16
-                                   # measured ~2% SLOWER on v5e — keep f32
+                                   # measured SLOWER on v5e at both sizes
+                                   # (-2% at 128^2; 46.2 vs 46.8 fps e2e at
+                                   # 256^2, 2026-08-19) — keep f32
     lfg_max_features: int = 512    # LFG decoder width (released: 512)
     lfg_num_bottleneck: int = 6    # LFG bottleneck ResBlocks (released: 6)
     lfg_decode_chunk: int = 0      # decode frames in lax.map chunks of this
