@@ -115,7 +115,13 @@ def main():
 
     chunk = args.lfg_decode_chunk
     if chunk is None:
-        chunk = 0 if args.img_size <= 128 else 16
+        # 256^2: full-res conv activations for all frames exceed HBM (16
+        # measured fastest). 128^2 long videos: the decode's 4-corner
+        # feature-warp gathers are O(T * H * W * 64) f32 EACH — at 800
+        # frames that alone is 4 x 6.25 GB, so chunk to bound decode
+        # memory at O(chunk) while the UNet scan stays O(T)
+        chunk = (16 if args.img_size > 128 else
+                 0 if args.frames <= 400 else 32)
     lfg_dtype = args.lfg_dtype
     cfg = FlowDiffusionConfig(img_size=args.img_size,
                               sampling_timesteps=args.steps,

@@ -1,10 +1,16 @@
-"""Assertions over committed bench artifacts (regenerated on TPU each round).
+"""Sanity checks over committed bench artifacts.
 
-The reference's long-video headline is "video length linearly related to
-VRAM" (README.md:34-38). BENCH_400f/BENCH_800f carry the compiled peak
-memory of the full sampler at 128^2 (bench.py memory_analysis); this test
-pins the linearity claim: doubling the frame count must not much more than
-double peak memory. Skips when the artifacts predate the peak_mem_gb field.
+The reference's headline long-video property is "video length linearly
+related to VRAM" (README.md:34-38: >=12 GB for 400 frames at 128^2) — its
+local attention bounds live score memory to O(T*w). The TPU analogue is
+pinned here: the compiled program's peak memory (XLA memory_analysis:
+temp + args + out, recorded as ``peak_mem_gb`` by bench.py) must grow at
+most ~linearly from 400 to 800 frames. Superlinear growth would mean some
+op rematerializes an O(T^2) buffer and the tiled-kernel path regressed.
+
+These tests only run when the artifacts are present and carry the memory
+field (BENCH_400f.json predates it unless regenerated) — they gate
+committed artifacts, not live TPU access.
 """
 
 import json
@@ -20,18 +26,24 @@ def _load(name):
     if not os.path.exists(path):
         pytest.skip(f"{name} not committed")
     with open(path) as f:
-        return json.load(f)
+        return json.loads(f.read().strip().splitlines()[-1])
 
 
-def test_long_video_memory_linearity():
-    b4 = _load("BENCH_400f.json")
-    b8 = _load("BENCH_800f.json")
-    if "peak_mem_gb" not in b4 or "peak_mem_gb" not in b8:
-        pytest.skip("artifacts predate peak_mem_gb accounting")
-    ratio = b8["peak_mem_gb"] / max(b4["peak_mem_gb"], 1e-9)
-    assert ratio <= 2.3, (
-        f"peak memory 400f->800f grew {ratio:.2f}x — the linear-in-frames "
-        f"memory claim is broken ({b4['peak_mem_gb']} -> "
-        f"{b8['peak_mem_gb']} GB)")
-    # and 800f must still fit the 16 GB v5e chip
-    assert b8["peak_mem_gb"] < 16.0, b8["peak_mem_gb"]
+class TestLongVideoMemoryLinearity:
+    def test_peak_memory_400_to_800_at_most_linear(self):
+        r400 = _load("BENCH_400f.json")
+        r800 = _load("BENCH_800f.json")
+        m400 = r400.get("peak_mem_gb", 0.0)
+        m800 = r800.get("peak_mem_gb", 0.0)
+        if not (m400 and m800):
+            pytest.skip("peak_mem_gb missing (artifact predates the field)")
+        ratio = m800 / m400
+        # 2x frames -> <= ~2.2x peak memory (allowance for fixed weights +
+        # rounding); O(T^2) anywhere would push this toward 4x
+        assert ratio <= 2.2, (m400, m800, ratio)
+
+    def test_800f_metric_shape(self):
+        r800 = _load("BENCH_800f.json")
+        assert r800["unit"] == "frames/sec/chip"
+        assert "800 frames" in r800["metric"]
+        assert r800["value"] > 0
