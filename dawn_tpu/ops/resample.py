@@ -17,32 +17,23 @@ import jax.numpy as jnp
 
 
 def _gather_2d(img: jax.Array, iy: jax.Array, ix: jax.Array) -> jax.Array:
-    """Gather img[n, iy[n,p], ix[n,p], :] -> (N, P, C) with flat spatial indexing."""
+    """Gather img[n, iy[n,p], ix[n,p], :] -> (N, P, C) with flat spatial indexing.
+
+    Layout note (measured 2026-08-19, v5e): at C=3 the (N, P, C) gather
+    output is lane-padded 3 -> 128 (42.7x memory) — 4 corner buffers of
+    6.25 GB OOM'd an 800-frame/128^2 decode with lfg_decode_chunk=0. Two
+    alternatives were tried and REJECTED: a logically transposed (N, C, P)
+    take_along_axis (XLA layout assignment re-materializes the same padded
+    buffer) and per-channel RANK-1 takes over the batch-flattened source
+    (zero padding and it unblocks 800f, but 12 scalar-stream gathers run
+    the 128^2/200f e2e bench at 166 vs 211 fps — a 21% regression). The
+    right memory fix is bounding P via decode chunking
+    (FlowDiffusionConfig.lfg_decode_chunk, bench.py auto-chunks >400
+    frames); this gather stays in the fast padded layout."""
     n, h, w, c = img.shape
     flat = img.reshape(n, h * w, c)
     idx = iy * w + ix  # (N, P)
     return jnp.take_along_axis(flat, idx[..., None], axis=1)
-
-
-def _gather_2d_small_c(img: jax.Array, iy: jax.Array, ix: jax.Array) -> jax.Array:
-    """Same gather for NARROW channel counts, returning (C, N*P).
-
-    A (N, P, C) gather output gets a 2-D tiled layout with C in the lanes:
-    at C=3 (RGB warps) that pads 3 -> 128 = a 42.7x memory blowup PER
-    CORNER GATHER — 4 x 6.25 GB live buffers at 128^2/800f, the allocation
-    that OOM'd the 800-frame bench. (A logically transposed (N, C, P)
-    take_along_axis does not help: XLA's layout assignment materializes the
-    same padded [P, C] buffer.) RANK-1 buffers instead take the linear
-    T(1024) tiling with ZERO padding — the OOM report's own s32 index
-    buffer shows it — so gather each channel as a rank-1 take over the
-    batch-flattened source. Values and per-element arithmetic are
-    identical; callers accumulate in (C, N*P) (sublane-only padding) and
-    transpose once at the end."""
-    n, h, w, c = img.shape
-    idx = (iy * w + ix
-           + (jnp.arange(n, dtype=jnp.int32) * (h * w))[:, None]).reshape(-1)
-    flat = img.reshape(n * h * w, c)
-    return jnp.stack([jnp.take(flat[:, ch], idx) for ch in range(c)], axis=0)
 
 
 def grid_sample(img: jax.Array, grid: jax.Array,
@@ -80,30 +71,19 @@ def grid_sample(img: jax.Array, grid: jax.Array,
     lx = fx - x0
     ly = fy - y0
 
-    # narrow-channel images (RGB/flow/conf warps) gather + accumulate as C
-    # rank-1 streams — see _gather_2d_small_c for why (42.7x tile padding
-    # otherwise). Per-element arithmetic and summation order are identical
-    # in both layouts (bit-exact; parity-tested vs torch + golden-pinned).
-    small_c = c < 8
-    out = jnp.zeros((c, n * ho * wo) if small_c else (n, ho * wo, c),
-                    dtype=img.dtype)
+    out = jnp.zeros((n, ho * wo, c), dtype=img.dtype)
     for dy, wy in ((0, (1.0 - ly)), (1, ly)):
         for dx, wx in ((0, (1.0 - lx)), (1, lx)):
             ix = x0 + dx
             iy = y0 + dy
             ixc = jnp.clip(ix, 0, w - 1).astype(jnp.int32)
             iyc = jnp.clip(iy, 0, h - 1).astype(jnp.int32)
+            vals = _gather_2d(img, iyc, ixc)
             wgt = wx * wy
             if padding_mode == "zeros":
                 valid = (ix >= 0) & (ix <= w - 1) & (iy >= 0) & (iy <= h - 1)
                 wgt = wgt * valid.astype(img.dtype)
-            if small_c:
-                out = out + (_gather_2d_small_c(img, iyc, ixc)
-                             * wgt.reshape(-1)[None, :])
-            else:
-                out = out + _gather_2d(img, iyc, ixc) * wgt[..., None]
-    if small_c:
-        out = out.reshape(c, n, ho * wo).transpose(1, 2, 0)
+            out = out + vals * wgt[..., None]
     # an f32 grid over a bf16 image promotes the accumulate; torch's
     # grid_sample returns the INPUT dtype — match it (accumulating at the
     # wider dtype first is strictly more accurate)
