@@ -1,0 +1,133 @@
+"""STGCN-feature evaluation — accuracy / FID / diversity / multimodality
+scored in a pretrained recognizer's feature space.
+
+Capability port of PBnet/src/evaluate/stgcn/evaluate.py:10-102 (the
+Evaluation class: per-loader accuracy, activation statistics, diversity/
+multimodality, FID against the ground-truth loader's stats, flattened
+``{metric}_{key}_{set}`` result keys) on top of this repo's flax STGCN
+(models/pbnet/stgcn.py) and the already-parity-tested metric functions
+(evaluate/metrics.py). The recognizer weights load from the reference's
+released .tar via weights/torch_convert.py::convert_stgcn (the graph is
+recovered from the checkpoint's 'A' buffer).
+
+Motions here are (N, T, V, C) numpy arrays; ``loaders`` mirrors the
+reference contract: {key: {"train": (motions, labels), "test": ...}} with
+a "gt" key supplying the FID reference statistics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Mapping, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dawn_tpu.models.pbnet.stgcn import STGCN, build_graph
+from dawn_tpu.evaluate.metrics import (
+    activation_statistics, diversity_multimodality, recognition_accuracy)
+from scipy import linalg
+
+
+def load_stgcn(ckpt_path: str, in_channels: int, num_class: int,
+               dropout: float = 0.0) -> Tuple[STGCN, dict]:
+    """Reference recognizer checkpoint -> (flax model, variables)."""
+    from dawn_tpu.weights.torch_convert import convert_stgcn_checkpoint
+    cv = convert_stgcn_checkpoint(ckpt_path)
+    model = STGCN(in_channels=in_channels, num_class=num_class,
+                  graph=cv["graph"], edge_importance_weighting=any(
+                      k.startswith("edge_importance") for k in cv["params"]),
+                  dropout=dropout)
+    return model, {"params": cv["params"], "batch_stats": cv["batch_stats"]}
+
+
+def make_dawn_head_stgcn(num_class: int, rng: jax.Array,
+                         strategy: str = "spatial") -> Tuple[STGCN, dict]:
+    """Fresh recognizer over the 8-node DAWN head graph (pose 6 + blink 2
+    as V=8/C=1 — see models/pbnet/stgcn.py 'dawn_head'); train it with
+    ``STGCN.__call__(train=True)`` + optax before scoring, or use the
+    checkpoint path above."""
+    graph = build_graph("dawn_head", strategy)
+    model = STGCN(in_channels=1, num_class=num_class, graph=graph)
+    variables = model.init(rng, jnp.zeros((1, 16, graph.shape[1], 1)))
+    return model, variables
+
+
+def compute_features(model: STGCN, variables: Mapping, motions: np.ndarray,
+                     batch_size: int = 64) -> Tuple[np.ndarray, np.ndarray]:
+    """(N, T, V, C) motions -> (features (N, 256), logits (N, num_class)),
+    batched through one jitted apply (evaluate.py:35-45 compute_features)."""
+
+    @functools.partial(jax.jit, static_argnums=())
+    def fwd(x):
+        out = model.apply(variables, x)
+        return out["features"], out["yhat"]
+
+    n = motions.shape[0]
+    pad = (-n) % batch_size
+    padded = np.concatenate([motions, np.repeat(motions[-1:], pad, 0)]) \
+        if pad else motions
+    feats, logits = [], []
+    for i in range(0, padded.shape[0], batch_size):
+        f, y = fwd(jnp.asarray(padded[i:i + batch_size], jnp.float32))
+        feats.append(np.asarray(f))
+        logits.append(np.asarray(y))
+    return (np.concatenate(feats)[:n], np.concatenate(logits)[:n])
+
+
+def frechet_from_stats(stats_a, stats_b, eps: float = 1e-6) -> float:
+    """FID from precomputed (mu, sigma) pairs (stgcn/fid.py:6-61) — the
+    evaluate.py flow computes stats once per loader and reuses them."""
+    mu1, s1 = stats_a
+    mu2, s2 = stats_b
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(s1.dot(s2), disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(s1.shape[0]) * eps
+        covmean = linalg.sqrtm((s1 + offset).dot(s2 + offset))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff.dot(diff) + np.trace(s1) + np.trace(s2)
+                 - 2 * np.trace(covmean))
+
+
+class STGCNEvaluation:
+    """evaluate/stgcn/evaluate.py::Evaluation over numpy loaders.
+
+    loaders: {key: {"train": (motions, labels), "test": (motions, labels)}}
+    with motions (N, T, V, C) float and labels (N,) int; must contain a
+    "gt" key — its activation statistics anchor every FID (evaluate.py:88-96).
+    """
+
+    def __init__(self, model: STGCN, variables: Mapping, num_classes: int,
+                 seed: int = 0, batch_size: int = 64):
+        self.model = model
+        self.variables = variables
+        self.num_classes = num_classes
+        self.seed = seed
+        self.batch_size = batch_size
+
+    def evaluate(self, loaders: Mapping[str, Mapping[str, tuple]]) -> Dict[str, float]:
+        metrics_all: Dict[str, Dict[str, float]] = {}
+        for sets in ("train", "test"):
+            computed: Dict[str, tuple] = {}
+            metrics: Dict[str, float] = {}
+            for key, loader_sets in loaders.items():
+                motions, labels = loader_sets[sets]
+                feats, logits = compute_features(
+                    self.model, self.variables, motions, self.batch_size)
+                acc, _ = recognition_accuracy(logits, labels)
+                metrics[f"accuracy_{key}"] = acc
+                stats = activation_statistics(feats)
+                computed[key] = stats
+                div, mult = diversity_multimodality(
+                    feats, labels, self.num_classes, seed=self.seed)
+                metrics[f"diversity_{key}"] = div
+                metrics[f"multimodality_{key}"] = mult
+            gt_stats = computed["gt"]
+            for key, stats in computed.items():
+                metrics[f"fid_{key}"] = frechet_from_stats(gt_stats, stats)
+            metrics_all[sets] = metrics
+        return {f"{k}_{sets}": v for sets in ("train", "test")
+                for k, v in metrics_all[sets].items()}

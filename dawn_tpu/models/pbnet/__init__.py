@@ -11,3 +11,4 @@ from dawn_tpu.models.pbnet.architectures import (
     EncoderTransformerReemb6,
 )
 from dawn_tpu.models.pbnet import losses
+from dawn_tpu.models.pbnet.stgcn import STGCN, build_graph

@@ -498,3 +498,48 @@ def convert_pbnet_autotrans(sd: Mapping[str, Any],
             "ff_linear2": _linear(sd, f"{q}.feed_forward.pwff_layer.3"),
         }
     return dec
+
+
+# ------------------------------------------------------------- STGCN (eval)
+
+def convert_stgcn(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """STGCN recognizer state_dict (recognition/models/stgcn.py:49-74,
+    e.g. the released uestc_rot6d_stgcn.tar) -> flax STGCN variables plus
+    the graph. Returns {'params', 'batch_stats', 'graph' (K, V, V)}.
+
+    The graph is recovered from the checkpoint's registered 'A' buffer —
+    so SMPL-layout recognizers load exactly without the kintree pickle
+    their Graph constructor needs (stgcnutils/graph.py:59-73).
+    """
+    graph = _np(sd["A"]).astype(np.float32)
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    params["data_bn"], stats["data_bn"] = _bn(sd, "data_bn")
+
+    n_blocks = len({k.split(".")[1] for k in sd
+                    if k.startswith("st_gcn_networks.")})
+    for i in range(n_blocks):
+        pfx = f"st_gcn_networks.{i}"
+        bp: Dict[str, Any] = {"gcn_conv": _conv2d(sd, f"{pfx}.gcn.conv")}
+        bs: Dict[str, Any] = {}
+        # tcn Sequential: 0 BN, 1 ReLU, 2 Conv, 3 BN, 4 Dropout
+        bp["tcn_bn1"], bs["tcn_bn1"] = _bn(sd, f"{pfx}.tcn.0")
+        bp["tcn_conv"] = _conv2d(sd, f"{pfx}.tcn.2")
+        bp["tcn_bn2"], bs["tcn_bn2"] = _bn(sd, f"{pfx}.tcn.3")
+        if f"{pfx}.residual.0.weight" in sd:   # conv+BN residual branch
+            bp["res_conv"] = _conv2d(sd, f"{pfx}.residual.0")
+            bp["res_bn"], bs["res_bn"] = _bn(sd, f"{pfx}.residual.1")
+        params[f"st_gcn_{i}"] = bp
+        stats[f"st_gcn_{i}"] = bs
+        if f"edge_importance.{i}" in sd:
+            params[f"edge_importance_{i}"] = jnp.asarray(
+                _np(sd[f"edge_importance.{i}"]))
+
+    params["fcn"] = _conv2d(sd, "fcn")
+    return {"params": params, "batch_stats": stats, "graph": graph}
+
+
+def convert_stgcn_checkpoint(path: str) -> Dict[str, Any]:
+    """Load + convert a torch STGCN recognizer file (.tar/.pth)."""
+    return convert_stgcn(load_torch_file(path))

@@ -8,9 +8,12 @@ reference's tables/ post-processing consumes), then compute the ACTOR metric
 set on raw motion features — Frechet distance (action2motion/fid.py),
 diversity (diversity.py), temporal smoothness and L1 — and write metrics.json.
 
-The reference's STGCN branch (stgcn/evaluate.py) scores SMPL body motions
-with a UESTC-pretrained recognizer; it does not apply to DAWN's 6-d head pose
-and is not reimplemented — the DAWN-side eval scripts only dump sequences.
+The reference's STGCN branch (stgcn/evaluate.py) is available two ways:
+``--stgcn-ckpt`` loads a reference recognizer .tar (for SMPL-joint motion
+dumps; the graph comes from the checkpoint's A buffer), and ``--stgcn``
+scores DAWN's own 6/8-d head sequences in the feature space of a seeded
+random-init recognizer over the 'dawn_head' graph (random-feature FID — a
+deterministic relative signal; labels are per-video identities).
 """
 
 import argparse
@@ -32,6 +35,15 @@ def main():
     ap.add_argument("--workdir", default="runs/pbnet_eval")
     ap.add_argument("--niter", type=int, default=3)
     ap.add_argument("--num-frames", type=int, default=100)
+    ap.add_argument("--stgcn", action="store_true",
+                    help="also score in a seeded dawn_head STGCN feature "
+                         "space (stgcn/evaluate.py capability)")
+    ap.add_argument("--stgcn-ckpt", default=None,
+                    help="reference recognizer .tar (uestc_rot6d_stgcn "
+                         "style); overrides --stgcn's random-init model")
+    ap.add_argument("--stgcn-classes", type=int, default=None,
+                    help="recognizer classes (ckpt) / label count "
+                         "(default: number of test videos)")
     args = ap.parse_args()
 
     import numpy as np
@@ -53,6 +65,21 @@ def main():
                                args.length_dict, mode="test",
                                num_frames=args.num_frames)
     print(f"test videos: {len(dataset.names)}")
+
+    stgcn_pack = None
+    if args.stgcn or args.stgcn_ckpt:
+        num_classes = args.stgcn_classes or len(dataset.names)
+        if args.stgcn_ckpt:
+            from dawn_tpu.evaluate.stgcn_eval import load_stgcn
+            feat_dim = sum(dims)
+            smodel, svars = load_stgcn(args.stgcn_ckpt, feat_dim, num_classes)
+        else:
+            from dawn_tpu.evaluate.stgcn_eval import make_dawn_head_stgcn
+            smodel, svars = make_dawn_head_stgcn(num_classes,
+                                                 jax.random.PRNGKey(1234))
+        from dawn_tpu.evaluate.stgcn_eval import STGCNEvaluation
+        stgcn_pack = (STGCNEvaluation(smodel, svars, num_classes),
+                      np.asarray(smodel.graph).shape[1])
 
     metrics_all = {}
     for seed in range(args.niter):
@@ -99,6 +126,28 @@ def main():
             "l1": float(np.mean([l1_reconstruction(p, g)
                                  for p, g in zip(preds, gts)])),
         }
+        if stgcn_pack is not None:
+            ev, v_nodes = stgcn_pack
+            # (T, D) head sequences -> (N, T, V, C) recognizer motions:
+            # dawn_head scores D scalars as V=D/C=1 nodes (zero-padded to
+            # the 8-node graph for pose-only/blink-only runs); a ckpt
+            # recognizer expects its own (V, C) joint layout
+            def as_motion(seqs):
+                x = np.stack(seqs).astype(np.float32)
+                if args.stgcn_ckpt:
+                    return x.reshape(x.shape[0], x.shape[1], v_nodes, -1)
+                if x.shape[-1] < v_nodes:
+                    x = np.pad(x, ((0, 0), (0, 0),
+                                   (0, v_nodes - x.shape[-1])))
+                return x[..., None]
+            labels = np.arange(len(preds)) % ev.num_classes
+            loaders = {"gt": {"train": (as_motion(gts), labels),
+                              "test": (as_motion(gts), labels)},
+                       "gen": {"train": (as_motion(preds), labels),
+                               "test": (as_motion(preds), labels)}}
+            sm = ev.evaluate(loaders)
+            m.update({f"stgcn_{k}": float(v) for k, v in sm.items()
+                      if k.endswith("_test")})
         metrics_all[seed] = m
         print(f"seed {seed}: " + " ".join(f"{k}={v:.4f}" for k, v in m.items()))
 

@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--sample-every", type=int, default=1000,
                     help="write PNG monitor grids of real/fake flow decodes "
                          "(the reference's GIF snapshots, train...6D.py:354)")
+    ap.add_argument("--tensorboard", action="store_true",
+                    help="also write TensorBoard event files to "
+                         "<workdir>/tb (the reference's SummaryWriter "
+                         "channel, train...6D.py:174,319-321)")
     args = ap.parse_args()
 
     import yaml
@@ -123,6 +127,10 @@ def main():
     bs = cfg_yaml["batch_size"]
     meters = {k: AverageMeter(k) for k in ("total", "loss", "floss", "mouth_loss")}
     metrics_log = open(os.path.join(args.workdir, "metrics.jsonl"), "a")
+    tb = None
+    if args.tensorboard:
+        from dawn_tpu.utils.tensorboard import EventWriter
+        tb = EventWriter(os.path.join(args.workdir, "tb"))
 
     rng_len = np.random.RandomState(cfg_yaml.get("random_seed", 1234))
     _TIME_KEYS = ("video", "hubert", "pose", "blink", "mouth_lmk")
@@ -150,6 +158,9 @@ def main():
                 metrics["wall"] = time.time() - t0
                 metrics_log.write(json.dumps(metrics) + "\n")
                 metrics_log.flush()
+                if tb is not None:
+                    tb.add_scalars(metrics, step, prefix="train/")
+                    tb.flush()
                 print(f"step {step}: " + " ".join(str(m) for m in meters.values()))
             if step > start and step % args.ckpt_every == 0:
                 save_checkpoint(ckpt_dir, state, step)

@@ -61,6 +61,8 @@ def main():
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--log-every", type=int, default=20)
     ap.add_argument("--ckpt-every", type=int, default=1000)
+    ap.add_argument("--tensorboard", action="store_true",
+                    help="also write TensorBoard event files to <workdir>/tb")
     args = ap.parse_args()
 
     import yaml
@@ -120,6 +122,10 @@ def main():
     step_fn = trainer.make_sharded_step(mesh)
     rng = np.random.RandomState(0)
     log = open(os.path.join(args.workdir, "metrics.jsonl"), "a")
+    tb = None
+    if args.tensorboard:
+        from dawn_tpu.utils.tensorboard import EventWriter
+        tb = EventWriter(os.path.join(args.workdir, "tb"))
     t0 = time.time()
     with mesh:
         for step, batch in enumerate(
@@ -132,6 +138,9 @@ def main():
                 m["step"], m["wall"] = step, time.time() - t0
                 log.write(json.dumps(m) + "\n")
                 log.flush()
+                if tb is not None:
+                    tb.add_scalars(m, step, prefix="train/")
+                    tb.flush()
                 print(f"step {step}: total={m['total']:.4f} "
                       f"perc={m['perceptual']:.4f}")
             if step > 0 and step % args.ckpt_every == 0:

@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--num-frames", type=int, default=100)
     ap.add_argument("--log-every", type=int, default=50)
     ap.add_argument("--ckpt-every", type=int, default=5000)
+    ap.add_argument("--tensorboard", action="store_true",
+                    help="also write TensorBoard event files to <workdir>/tb")
     args = ap.parse_args()
 
     import yaml
@@ -75,6 +77,10 @@ def main():
     mesh = make_mesh(seq_parallel=1)
     step_fn = trainer.make_sharded_step(mesh)
     log = open(os.path.join(workdir, "metrics.jsonl"), "a")
+    tb = None
+    if args.tensorboard:
+        from dawn_tpu.utils.tensorboard import EventWriter
+        tb = EventWriter(os.path.join(workdir, "tb"))
     t0 = time.time()
     # KL annealing is EPOCH-based in the reference (cae.py:72-76); one epoch
     # = one pass over the video list at this batch size
@@ -90,6 +96,9 @@ def main():
                 m["step"], m["wall"] = step, time.time() - t0
                 log.write(json.dumps(m) + "\n")
                 log.flush()
+                if tb is not None:
+                    tb.add_scalars(m, step, prefix="train/")
+                    tb.flush()
                 print(f"step {step}: g={m['g_total']:.4f} d={m['d_loss']:.4f} "
                       f"rc={m.get('rc', 0):.4f}")
             if step > 0 and step % args.ckpt_every == 0:
