@@ -145,6 +145,10 @@ def main():
             "frames_per_sec": round(b * mean_t / mean_step, 1),
             "mfu_pct": round(mfu, 2),
             "hbm_pct": round(hbm, 1),
+            "hbm_note": ("XLA cost-model 'bytes accessed' / wall vs 819 "
+                         "GB/s; logical bytes count once per consumer, so "
+                         ">100% means fusion-reused operands, not physical "
+                         "traffic — an upper bound, like bench.py's"),
         })
         with open(args.json_out, "w") as f:
             f.write(line + "\n")
