@@ -159,7 +159,12 @@ def synth_speech_like(seconds=2.0, sr=SR, seed=0):
         for fm, bwx in zip(formants, (90, 150)):
             x = _biquad_resonator(x, fm, bwx)
         env = np.hanning(2 * (i1 - i0))[: i1 - i0] ** 0.3  # soft on/offset
-        wav[i0:i1] = x * env
+        x = x * env
+        # realistic segment balance: vowels LOUDER than the fricative —
+        # Praat's silence threshold (local/global peak ratio 0.03) correctly
+        # calls a vowel 30 dB under the fricative "silence", so the raw
+        # resonator output (b0 = 1-r per stage) must be re-leveled
+        wav[i0:i1] = 0.8 * x / np.max(np.abs(x))
         voiced[i0:i1] = True
     wav = (0.5 * wav / np.max(np.abs(wav))).astype(np.float32)
     return wav, f0, voiced
@@ -186,3 +191,83 @@ def test_f0_speech_like_fixture():
     # unvoiced: silence + fricative frames must not report pitch
     outer = ~tv & ~np.roll(tv, 1) & ~np.roll(tv, -1)
     assert (f0[outer] == 0).mean() > 0.8, (f0[outer] > 0).mean()
+
+
+# ----------------------------------------------------- Praat-specific traits
+# The round-4 tracker implements Boersma (1993) — Praat's to_pitch_ac — with
+# the reference's parameters (voicing_threshold 0.6, floor 80 / ceiling 750,
+# time_step hop/sr) and Praat defaults (silence 0.03, octave cost 0.01,
+# octave-jump 0.35, voiced/unvoiced 0.14, Viterbi path). These tests pin the
+# behaviors a per-frame argmax tracker does NOT have.
+
+
+def test_f0_viterbi_octave_stability():
+    """A pulse train whose odd harmonics are suppressed mid-signal makes the
+    half-period autocorrelation peak rival the true one frame-by-frame; the
+    octave-jump cost must keep the path from flickering between octaves."""
+    rng = np.random.RandomState(1)
+    n = int(1.6 * SR)
+    f = 130.0
+    period = SR / f
+    pulses = np.zeros(n)
+    pos = 0.0
+    while pos < n:
+        pulses[int(pos)] = 1.0
+        pos += period * (1 + 0.005 * rng.randn())
+    # add a half-period echo with time-varying weight (0 -> 0.95): as the
+    # weight approaches 1 the signal looks increasingly like 2f
+    echo = np.zeros(n)
+    half = int(period / 2)
+    w = np.linspace(0.0, 0.95, n)
+    echo[half:] = pulses[:-half] * w[half:]
+    wav = _biquad_resonator(pulses + echo, 700, 120)
+    wav = (0.5 * wav / np.max(np.abs(wav))).astype(np.float32)
+    f0 = extract_f0(wav)
+    v = f0[f0 > 0]
+    assert len(v) > 0.8 * len(f0)
+    jumps = np.abs(np.diff(np.log2(v)))
+    assert jumps.max() < 0.5, f"octave flicker: max jump {jumps.max():.2f}"
+
+
+def test_f0_silence_threshold_praat_semantics():
+    """Praat's unvoiced strength grows as the LOCAL peak falls relative to
+    the GLOBAL peak (silence threshold 0.03): the same perfectly periodic
+    tone at -40 dB relative to the loud part must come out unvoiced, even
+    though its normalized autocorrelation is ~1."""
+    loud = _tone(200.0, 0.8)
+    quiet = 0.01 * _tone(200.0, 0.8)  # 1% of global peak < 3% threshold
+    f0 = extract_f0(np.concatenate([loud, quiet]))
+    n = len(f0)
+    third = n // 3
+    assert (f0[:third] > 0).mean() > 0.9          # loud: voiced at 200 Hz
+    assert (f0[-third:] == 0).mean() > 0.9, (      # quiet: silence-gated
+        f0[-third:])
+
+
+def test_f0_vibrato_tracking():
+    """8 Hz vibrato +/-6% around 180 Hz on a formant-colored pulse train:
+    the tracker must follow the modulation, not smooth it away (the
+    octave-jump cost penalizes octave flicker, not legitimate small moves)."""
+    rng = np.random.RandomState(2)
+    n = int(2.0 * SR)
+    t = np.arange(n) / SR
+    f_inst = 180.0 * (1 + 0.06 * np.sin(2 * np.pi * 8.0 * t))
+    # pulse train with the instantaneous period
+    pulses = np.zeros(n)
+    pos = 0.0
+    while pos < n:
+        pulses[int(pos)] = 1.0
+        pos += SR / f_inst[int(pos)]
+    wav = _biquad_resonator(pulses, 600, 100)
+    wav = (0.5 * wav / np.max(np.abs(wav))).astype(np.float32)
+    f0 = extract_f0(wav)
+    hop = 320
+    centers = np.minimum(np.arange(len(f0)) * hop, n - 1)
+    inner = slice(5, len(f0) - 5)
+    est, true = f0[inner], f_inst[centers][inner]
+    assert (est > 0).all()
+    rel = np.abs(est - true) / true
+    assert np.median(rel) < 0.03, np.median(rel)
+    # it actually tracks the modulation: correlation with the true contour
+    c = np.corrcoef(est, true)[0, 1]
+    assert c > 0.9, f"vibrato correlation {c:.2f}"
