@@ -161,3 +161,118 @@ def render_mesh_overlay(img: np.ndarray, vertices: np.ndarray,
     if img.dtype == np.uint8:
         return (np.clip(out, 0, 1) * 255).astype(np.uint8)
     return out
+
+
+# ------------------------------------------------------------ pncc / uv-tex
+# The reference's remaining 3DDFA visualization modes (utils/pncc.py,
+# utils/uv.py): per-vertex-color rasterization via the native renderer
+# (runtime/src/render.cpp::dawn_render_colors = the Sim3DR `rasterize`
+# those files call), with a numpy barycentric fallback.
+
+
+def _rasterize_colors_numpy(vertices: np.ndarray, triangles: np.ndarray,
+                            colors: np.ndarray, bg: np.ndarray) -> np.ndarray:
+    out = bg.copy()
+    zbuf = np.full(bg.shape[:2], -np.inf, np.float32)
+    v = vertices.astype(np.float32)
+    h, w = bg.shape[:2]
+    for tri in triangles:
+        xs, ys, zs = v[tri, 0], v[tri, 1], v[tri, 2]
+        x0, x1 = max(int(np.ceil(xs.min())), 0), min(int(np.floor(xs.max())), w - 1)
+        y0, y1 = max(int(np.ceil(ys.min())), 0), min(int(np.floor(ys.max())), h - 1)
+        if x1 < x0 or y1 < y0:
+            continue
+        denom = ((ys[1] - ys[2]) * (xs[0] - xs[2])
+                 + (xs[2] - xs[1]) * (ys[0] - ys[2]))
+        if abs(denom) < 1e-12:
+            continue
+        gy, gx = np.mgrid[y0:y1 + 1, x0:x1 + 1]
+        b0 = ((ys[1] - ys[2]) * (gx - xs[2]) + (xs[2] - xs[1]) * (gy - ys[2])) / denom
+        b1 = ((ys[2] - ys[0]) * (gx - xs[2]) + (xs[0] - xs[2]) * (gy - ys[2])) / denom
+        b2 = 1.0 - b0 - b1
+        zpix = b0 * zs[0] + b1 * zs[1] + b2 * zs[2]
+        win_z = zbuf[y0:y1 + 1, x0:x1 + 1]
+        upd = (b0 >= 0) & (b1 >= 0) & (b2 >= 0) & (zpix > win_z)
+        win_z[upd] = zpix[upd]
+        cpix = (b0[..., None] * colors[tri[0]] + b1[..., None] * colors[tri[1]]
+                + b2[..., None] * colors[tri[2]])
+        out[y0:y1 + 1, x0:x1 + 1][upd] = cpix[upd]
+    return out
+
+
+def rasterize_colors(vertices: np.ndarray, triangles: np.ndarray,
+                     colors: np.ndarray, bg: np.ndarray) -> np.ndarray:
+    """Z-buffered barycentric interpolation of per-vertex colors over bg.
+    vertices: (N, 3) image coords; colors: (N, 3); bg: (H, W, 3) float32."""
+    from dawn_tpu.runtime import native
+
+    lib = native.load()
+    if lib is not None and hasattr(lib, "dawn_render_colors"):
+        return native.render_colors(lib, vertices, triangles, colors,
+                                    bg.astype(np.float32).copy())
+    return _rasterize_colors_numpy(vertices, triangles, colors,
+                                   bg.astype(np.float32))
+
+
+def calc_ncc_code(u: np.ndarray) -> np.ndarray:
+    """Normalized coordinate code from the BFM mean shape: per-axis min-max
+    normalization of u (3N,) or (N, 3) -> (N, 3) RGB in [0,1]
+    (utils/pncc.py:21-31; the reference caches this as ncc_code.npy)."""
+    u = np.asarray(u, np.float64)
+    xyz = u.reshape(-1, 3) if u.ndim == 1 else u
+    lo, hi = xyz.min(axis=0), xyz.max(axis=0)
+    return ((xyz - lo) / np.maximum(hi - lo, 1e-12)).astype(np.float32)
+
+
+def pncc(img: np.ndarray, ver_lst, triangles: np.ndarray,
+         ncc_code: np.ndarray, with_bg_flag: bool = True) -> np.ndarray:
+    """Projected Normalized Coordinate Code visualization (utils/pncc.py:34):
+    render each face's vertices colored by the mean-shape NCC over the image
+    (or black). ver_lst: iterable of (3, N) image-space vertex arrays."""
+    base = img.astype(np.float32) / 255.0 if img.dtype == np.uint8 else img
+    out = base.astype(np.float32) if with_bg_flag else np.zeros_like(
+        base, dtype=np.float32)
+    for ver in ver_lst:
+        out = rasterize_colors(np.ascontiguousarray(ver.T), triangles,
+                               ncc_code, out)
+    if img.dtype == np.uint8:
+        return (np.clip(out, 0, 1) * 255).astype(np.uint8)
+    return out
+
+
+def get_colors(img: np.ndarray, ver: np.ndarray) -> np.ndarray:
+    """Nearest-neighbor per-vertex image colors (utils/uv.py:41-49).
+    ver: (3, N) image coords; returns (N, 3)."""
+    h, w = img.shape[:2]
+    x = np.clip(np.round(ver[0]).astype(np.int32), 0, w - 1)
+    y = np.clip(np.round(ver[1]).astype(np.int32), 0, h - 1)
+    return img[y, x]
+
+
+def process_uv(uv_coords: np.ndarray, uv_h: int = 256,
+               uv_w: int = 256) -> np.ndarray:
+    """UV coords in [0,1] -> UV-image vertex positions with flipped v and a
+    zero z column (utils/uv.py:28-33)."""
+    uv = np.asarray(uv_coords, np.float32).copy()
+    uv[:, 0] = uv[:, 0] * (uv_w - 1)
+    uv[:, 1] = uv_h - uv[:, 1] * (uv_h - 1) - 1
+    return np.hstack([uv, np.zeros((len(uv), 1), np.float32)])
+
+
+def uv_tex(img: np.ndarray, ver_lst, triangles: np.ndarray,
+           uv_coords: np.ndarray, uv_h: int = 256,
+           uv_w: int = 256) -> np.ndarray:
+    """UV texture extraction (utils/uv.py:82-104): sample the image at each
+    projected vertex, then rasterize those colors in UV space. uv_coords:
+    (N, 2) in [0,1] — the reference loads these from configs/BFM_UV.mat,
+    which is among the stripped large blobs (.MISSING_LARGE_BLOBS), so they
+    are a caller-supplied argument here."""
+    base = img.astype(np.float32) / 255.0 if img.dtype == np.uint8 else img
+    uv_ver = process_uv(uv_coords, uv_h, uv_w)
+    out = np.zeros((uv_h, uv_w, 3), np.float32)
+    for ver in ver_lst:
+        colors = get_colors(base, ver)
+        out = rasterize_colors(uv_ver, triangles, colors, out)
+    if img.dtype == np.uint8:
+        return (np.clip(out, 0, 1) * 255).astype(np.uint8)
+    return out

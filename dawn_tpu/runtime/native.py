@@ -50,6 +50,8 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
                              ctypes.c_float, ctypes.POINTER(ctypes.c_int64)]
     lib.dawn_render_mesh.restype = None
     lib.dawn_render_depth.restype = None
+    if hasattr(lib, "dawn_render_colors"):   # absent in pre-round-4 builds
+        lib.dawn_render_colors.restype = None
     lib.dawn_npy_read.restype = ctypes.c_int64
     lib.dawn_prefetch_create.restype = ctypes.c_void_p
     lib.dawn_prefetch_next.restype = ctypes.c_int64
@@ -102,6 +104,30 @@ def render_depth(lib: ctypes.CDLL, vertices: np.ndarray,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ctypes.c_int(h), ctypes.c_int(w))
     return out
+
+
+def render_colors(lib: ctypes.CDLL, vertices: np.ndarray,
+                  triangles: np.ndarray, colors: np.ndarray,
+                  image: np.ndarray) -> np.ndarray:
+    """Barycentric per-vertex-color rasterization into `image` (H, W, 3
+    float32, modified in place where the mesh covers) — the Sim3DR
+    `rasterize` call the reference pncc/uv paths use."""
+    if not hasattr(lib, "dawn_render_colors"):
+        raise RuntimeError("libdawn_rt.so predates dawn_render_colors; "
+                           "rebuild with dawn_tpu.runtime.native.build(force=True)")
+    vertices = np.ascontiguousarray(vertices, dtype=np.float32)
+    triangles = np.ascontiguousarray(triangles, dtype=np.int32)
+    colors = np.ascontiguousarray(colors, dtype=np.float32)
+    image = np.ascontiguousarray(image, dtype=np.float32)
+    lib.dawn_render_colors(
+        vertices.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int(vertices.shape[0]),
+        triangles.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int(triangles.shape[0]),
+        colors.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        image.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int(image.shape[0]), ctypes.c_int(image.shape[1]))
+    return image
 
 
 class NpyPrefetcher:

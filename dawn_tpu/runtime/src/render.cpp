@@ -146,4 +146,51 @@ void dawn_render_depth(const float* vertices, int32_t nver,
   }
 }
 
+// Per-vertex-COLOR z-buffered rasterization (the Sim3DR `rasterize` the
+// reference's pncc/uv visualizations call, extract_init_states/utils/
+// pncc.py:44 and uv.py:86): colors (nver, 3) barycentric-interpolated into
+// `image` (h, w, 3, pre-filled with the background) where the mesh covers.
+void dawn_render_colors(const float* vertices, int32_t nver,
+                        const int32_t* triangles, int32_t ntri,
+                        const float* colors,
+                        float* image, int32_t h, int32_t w) {
+  (void)nver;
+  std::vector<float> zbuf(static_cast<size_t>(h) * w,
+                          -std::numeric_limits<float>::infinity());
+  for (int32_t t = 0; t < ntri; ++t) {
+    const int32_t* tri = triangles + t * 3;
+    const float* v0 = vertices + tri[0] * 3;
+    const float* v1 = vertices + tri[1] * 3;
+    const float* v2 = vertices + tri[2] * 3;
+    int x0 = std::max(0, (int)std::ceil(std::min({v0[0], v1[0], v2[0]})));
+    int x1 = std::min(w - 1, (int)std::floor(std::max({v0[0], v1[0], v2[0]})));
+    int y0 = std::max(0, (int)std::ceil(std::min({v0[1], v1[1], v2[1]})));
+    int y1 = std::min(h - 1, (int)std::floor(std::max({v0[1], v1[1], v2[1]})));
+    if (x0 > x1 || y0 > y1) continue;
+    float denom = (v1[1] - v2[1]) * (v0[0] - v2[0]) +
+                  (v2[0] - v1[0]) * (v0[1] - v2[1]);
+    if (std::fabs(denom) < 1e-12f) continue;
+    const float* c0 = colors + tri[0] * 3;
+    const float* c1 = colors + tri[1] * 3;
+    const float* c2 = colors + tri[2] * 3;
+    for (int y = y0; y <= y1; ++y) {
+      for (int x = x0; x <= x1; ++x) {
+        float b0 = ((v1[1] - v2[1]) * (x - v2[0]) +
+                    (v2[0] - v1[0]) * (y - v2[1])) / denom;
+        float b1 = ((v2[1] - v0[1]) * (x - v2[0]) +
+                    (v0[0] - v2[0]) * (y - v2[1])) / denom;
+        float b2 = 1.f - b0 - b1;
+        if (b0 < 0 || b1 < 0 || b2 < 0) continue;
+        float z = b0 * v0[2] + b1 * v1[2] + b2 * v2[2];
+        size_t idx = static_cast<size_t>(y) * w + x;
+        if (z <= zbuf[idx]) continue;
+        zbuf[idx] = z;
+        float* px = image + idx * 3;
+        for (int k = 0; k < 3; ++k)
+          px[k] = b0 * c0[k] + b1 * c1[k] + b2 * c2[k];
+      }
+    }
+  }
+}
+
 }  // extern "C"

@@ -104,3 +104,85 @@ class TestProfiling:
         assert m.check(3) is not None
         assert "unnormal load" in capsys.readouterr().out
         assert m.anomalies == 1
+
+
+class TestPnccUv:
+    """pncc / uv_tex visualization paths (reference utils/pncc.py, uv.py:
+    Sim3DR rasterize == per-vertex-color z-buffered barycentric fill)."""
+
+    def test_rasterize_colors_interpolates(self):
+        # one triangle, pure R/G/B corners: center pixel ~ (1/3, 1/3, 1/3)
+        verts = np.array([[2, 2, 0.0], [14, 2, 0.0], [2, 14, 0.0]],
+                         np.float32)
+        tris = np.array([[0, 1, 2]], np.int32)
+        colors = np.eye(3, dtype=np.float32)
+        bg = np.zeros((16, 16, 3), np.float32)
+        out = face_viz.rasterize_colors(verts, tris, colors, bg)
+        assert (out[15, 15] == 0).all()               # outside untouched
+        center = out[5, 5]
+        assert center.sum() > 0.95                     # inside: colors sum ~1
+        assert np.all(center > 0.1)                    # ...all three blended
+        near_v0 = out[3, 3]
+        assert near_v0[0] > near_v0[1] and near_v0[0] > near_v0[2]
+
+    def test_rasterize_colors_zbuffer(self):
+        # two overlapping triangles: the nearer (larger z) one wins
+        verts = np.array([[1, 1, 0.0], [14, 1, 0.0], [1, 14, 0.0],
+                          [1, 1, 5.0], [14, 1, 5.0], [1, 14, 5.0]],
+                         np.float32)
+        tris = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+        colors = np.array([[1, 0, 0]] * 3 + [[0, 1, 0]] * 3, np.float32)
+        out = face_viz.rasterize_colors(verts, tris, colors,
+                                        np.zeros((16, 16, 3), np.float32))
+        assert out[4, 4, 1] > 0.99 and out[4, 4, 0] < 1e-6
+
+    def test_native_matches_numpy(self, monkeypatch):
+        from dawn_tpu.runtime import native as nat
+        if nat.load() is None or not hasattr(nat.load(), "dawn_render_colors"):
+            pytest.skip("native colors renderer unavailable")
+        rng = np.random.RandomState(3)
+        verts = np.column_stack([rng.uniform(0, 31, 12),
+                                 rng.uniform(0, 31, 12),
+                                 rng.uniform(0, 4, 12)]).astype(np.float32)
+        tris = rng.randint(0, 12, (8, 3)).astype(np.int32)
+        colors = rng.rand(12, 3).astype(np.float32)
+        bg = rng.rand(32, 32, 3).astype(np.float32)
+        a = face_viz.rasterize_colors(verts, tris, colors, bg)
+        monkeypatch.setattr(nat, "load", lambda *a_, **k: None)
+        b = face_viz.rasterize_colors(verts, tris, colors, bg)
+        diff = np.abs(a - b).max(axis=-1)
+        assert (diff > 1e-4).mean() < 0.02     # f32-vs-f64 edge rounding only
+
+    def test_pncc_end_to_end(self):
+        # NCC code from a fake mean shape; colors land inside the face bbox
+        rng = np.random.RandomState(0)
+        n = 30
+        u = rng.randn(n * 3)
+        ncc = face_viz.calc_ncc_code(u)
+        assert ncc.shape == (n, 3)
+        assert ncc.min() >= 0 and ncc.max() <= 1
+        ver = np.stack([rng.uniform(20, 100, n), rng.uniform(20, 100, n),
+                        rng.uniform(0, 10, n)])        # (3, N)
+        tris = rng.randint(0, n, (40, 3)).astype(np.int32)
+        img = np.zeros((128, 128, 3), np.uint8)
+        out = face_viz.pncc(img, [ver], tris, ncc, with_bg_flag=False)
+        assert out.dtype == np.uint8 and out.shape == img.shape
+        assert out[20:101, 20:101].any() and not out[:19].any()
+        # with background: pixels outside the mesh keep the background
+        img2 = np.full((128, 128, 3), 7, np.uint8)
+        out2 = face_viz.pncc(img2, [ver], tris, ncc, with_bg_flag=True)
+        assert (out2[0, 0] == 7).all()
+
+    def test_uv_tex_roundtrip(self):
+        # a flat quad textured by a gradient image: the UV map reproduces
+        # the gradient (up to the v-flip process_uv applies)
+        img = np.zeros((64, 64, 3), np.float32)
+        img[..., 0] = np.linspace(0, 1, 64)[None, :]   # red ramps with x
+        ver = np.array([[8, 56, 8, 56], [8, 8, 56, 56],
+                        [0, 0, 0, 0]], np.float32)     # (3, 4) quad corners
+        tris = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
+        uv = np.array([[0, 0], [1, 0], [0, 1], [1, 1]], np.float32)
+        tex = face_viz.uv_tex(img, [ver], tris, uv, uv_h=32, uv_w=32)
+        # red channel grows along u in UV space as it does along x in image
+        assert tex[16, 25, 0] > tex[16, 6, 0] + 0.3
+        assert tex.shape == (32, 32, 3)
