@@ -117,6 +117,16 @@ def main():
         print(f"t={t}: step {best*1e3:.1f} ms -> {b/best:.2f} ex/s/chip "
               f"({b*t/best:.1f} frames/s) "
               f"finite={float(metrics['grads_finite'])}", file=sys.stderr)
+        # free this bucket's HBM before the next bucket's first step: a
+        # bs-4/40-frame fwd+bwd peaks near the 16 GB chip, and keeping the
+        # previous bucket's state/batch/executable resident OOM'd the
+        # 30->35 transition (measured round 4)
+        for leaf in jax.tree_util.tree_leaves((state2, metrics, batch)):
+            if hasattr(leaf, "delete"):
+                leaf.delete()
+        del state2, metrics, batch, compiled
+        import gc
+        gc.collect()
     mean_step = sum(per_bucket) / len(per_bucket)
     mean_t = sum(frame_buckets) / len(frame_buckets)
     tflops = (flops_total / len(per_bucket)) / mean_step / 1e12

@@ -47,3 +47,32 @@ class TestLongVideoMemoryLinearity:
         assert r800["unit"] == "frames/sec/chip"
         assert "800 frames" in r800["metric"]
         assert r800["value"] > 0
+
+
+class TestTrainArtifacts:
+    """BENCH_train{,_s2}.json schema (VERDICT r3 #5): recipe anchoring
+    requires bs + MFU/HBM accounting fields, and the stage-2 line."""
+
+    def _load(self, name):
+        import json
+        import os
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), name)
+        if not os.path.exists(path):
+            import pytest
+            pytest.skip(f"{name} not generated on this machine")
+        return json.load(open(path))
+
+    def test_stage1_fields(self):
+        d = self._load("BENCH_train.json")
+        assert d["unit"] == "examples/sec/chip" and d["value"] > 0
+        for k in ("bs", "step_ms", "frames_per_sec", "mfu_pct", "hbm_pct"):
+            assert k in d, k
+        assert "stage-1" in d["metric"]
+
+    def test_stage2_fields(self):
+        d = self._load("BENCH_train_s2.json")
+        assert d["unit"] == "examples/sec/chip" and d["value"] > 0
+        assert "stage-2" in d["metric"] and "30, 35, 40" in d["metric"]
+        for k in ("bs", "mfu_pct", "hbm_pct"):
+            assert k in d, k
