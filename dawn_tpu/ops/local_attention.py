@@ -486,6 +486,86 @@ def local_attention_packed_stripe(q: jax.Array, k: jax.Array, v: jax.Array,
     return out[:, :t_q]
 
 
+def _stripe_bwd_pallas(q, k, v, bias, g, heads, interpret: bool = False):
+    """Fused backward for :func:`local_attention_packed_stripe`: the same
+    rectangular-block machinery as ``_packed_bwd_pallas`` (the kernel body is
+    shape-agnostic), but the bias is the caller's full (heads, tq, tk)
+    tensor — possibly TRACED (the seq-parallel path bakes per-device halo
+    validity into it) — and its gradient is returned as the raw accumulated
+    dS tile: the T5 bias-vector chain rule happens OUTSIDE, in the autodiff
+    of the caller's bias construction. Returns (dq, dk, dv, dbias)."""
+    import jax.experimental.pallas as pl
+    import jax.experimental.pallas.tpu as pltpu
+
+    n, t_q, hd = q.shape
+    t_k = k.shape[1]
+    dh = hd // heads
+    tq = PACKED_TQ_MULTIPLE * -(-t_q // PACKED_TQ_MULTIPLE)
+    tk = 128 * -(-t_k // 128)
+    assert bias.shape == (heads, tq, tk), (bias.shape, heads, tq, tk)
+    gg = 8
+    while n % gg != 0:
+        gg //= 2
+
+    qp = jnp.pad(q, ((0, 0), (0, tq - t_q), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, tk - t_k), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, tk - t_k), (0, 0)))
+    gp = jnp.pad(g, ((0, 0), (0, tq - t_q), (0, 0)))
+
+    qspec = pl.BlockSpec((gg, tq, hd), lambda s: (s, 0, 0))
+    kvspec = pl.BlockSpec((gg, tk, hd), lambda s: (s, 0, 0))
+    bspec = pl.BlockSpec((heads, tq, tk), lambda s: (0, 0, 0))
+    kernel = functools.partial(_local_attn_packed_bwd_kernel, h=heads, dh=dh)
+    dq, dk, dv, dbias = pl.pallas_call(
+        kernel,
+        grid=(n // gg,),
+        in_specs=[bspec, qspec, kvspec, kvspec, qspec],
+        out_specs=(qspec, kvspec, kvspec, bspec),
+        out_shape=(jax.ShapeDtypeStruct((n, tq, hd), q.dtype),
+                   jax.ShapeDtypeStruct((n, tk, hd), q.dtype),
+                   jax.ShapeDtypeStruct((n, tk, hd), q.dtype),
+                   jax.ShapeDtypeStruct((heads, tq, tk), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(min(
+                100 << 20,
+                8 * gg * tq * tk * 4 + 2 * heads * tq * tk * 4 + (8 << 20)))),
+        interpret=interpret,
+    )(bias, qp, kp, vp, gp)
+    return (dq[:, :t_q], dk[:, :t_k], dv[:, :t_k],
+            dbias.astype(bias.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def local_attention_packed_stripe_tpu(q, k, v, bias, heads):
+    """Differentiable rectangular-stripe entry (TPU): fused Pallas forward
+    AND backward. ``bias`` is a differentiable operand — its cotangent is
+    the accumulated softmax-gradient tile, so a traced bias built from a
+    learned T5 vector (``_stripe_bias``) gets its parameter gradient through
+    ordinary autodiff of the construction. This is what lets
+    :func:`seq_sharded_local_attention` run the Pallas path in TRAINING
+    (VERDICT r4 #2: the reference's VRAM-bounded training attention,
+    DM_3/modules/local_attention.py:275-342, generalized to a sharded mesh).
+    """
+    return local_attention_packed_stripe(q, k, v, bias, heads)
+
+
+def _stripe_tpu_fwd(q, k, v, bias, heads):
+    return local_attention_packed_stripe(q, k, v, bias, heads), (q, k, v, bias)
+
+
+def _stripe_tpu_bwd(heads, res, g):
+    q, k, v, bias = res
+    if jax.default_backend() == "tpu":
+        return _stripe_bwd_pallas(q, k, v, bias, g, heads)
+    _, vjp = jax.vjp(
+        lambda q, k, v, b: _stripe_attn_einsum(q, k, v, b, heads),
+        q, k, v, bias)
+    return vjp(g)
+
+
+local_attention_packed_stripe_tpu.defvjp(_stripe_tpu_fwd, _stripe_tpu_bwd)
+
+
 def _stripe_attn_einsum(q: jax.Array, k: jax.Array, v: jax.Array,
                         bias: jax.Array, heads: int) -> jax.Array:
     """XLA reference for :func:`local_attention_packed_stripe` (any backend,
@@ -545,14 +625,19 @@ def seq_sharded_local_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     (rotary constants are per-GLOBAL-frame and applied outside, where GSPMD
     slices them along the sharded T). T must divide the axis size and the
     local shard must cover the window (T/n_shards >= window). Differentiable
-    on the einsum path (use_pallas=False); the Pallas path is forward-only.
+    on BOTH paths: the einsum stripe via ordinary autodiff, the Pallas
+    stripe via its fused backward kernel
+    (:func:`local_attention_packed_stripe_tpu`) — the bias-vector gradient
+    flows through the traced bias construction, and the halo exchange
+    transposes to the reverse ppermute automatically. This makes the kernel
+    usable inside the sharded TRAIN step (VERDICT r4 #2).
     """
     from jax.sharding import PartitionSpec as P
 
     n_sh = mesh.shape[axis]
     if n_sh == 1:
         if jax.default_backend() == "tpu" and q.shape[1] <= PACKED_MAX_T:
-            return local_attention_packed(q, k, v, bias_vec, window, heads)
+            return local_attention_packed_tpu(q, k, v, bias_vec, window, heads)
         t = q.shape[1]
         tq = PACKED_TQ_MULTIPLE * -(-t // PACKED_TQ_MULTIPLE)
         bias = _full_bias(heads, t, tq, 128 * -(-t // 128), window, bias_vec)
@@ -595,7 +680,7 @@ def seq_sharded_local_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                 + jnp.where(idx == 0, left_edge, 0.0)[None]
                 + jnp.where(idx == n_sh - 1, right_edge, 0.0)[None])
         if use_pallas:
-            return local_attention_packed_stripe(qb, kx, vx, bias, heads)
+            return local_attention_packed_stripe_tpu(qb, kx, vx, bias, heads)
         return _stripe_attn_einsum(qb, kx, vx, bias, heads)
 
     spec = P(None, axis, None)
