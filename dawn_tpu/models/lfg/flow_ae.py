@@ -75,6 +75,63 @@ class FlowAE:
         out["bg_params"] = bg
         return out
 
+    def teacher_outputs(self, variables: Dict[str, Any], ref_img: jax.Array,
+                        video: jax.Array) -> Dict[str, jax.Array]:
+        """The three teacher tensors the DM TRAIN LOSS consumes — deduped.
+
+        Mathematically identical to the matching keys of
+        :meth:`reconstruct_video` (every module is frozen eval-mode BN, so
+        per-row results are batch-independent; the smaller conv batch only
+        moves XLA's reduction associativity, measured max|d| ~4e-7 CPU /
+        ~1.5e-4 TPU), but the per-VIDEO reference work runs once per
+        video instead of once per frame:
+
+        - region params of the ref image: b hourglass passes, not b*t over
+          t identical copies;
+        - the flow predictor's anti-alias source downsample: blurred once
+          per ref, repeated at latent res;
+        - the generator encoder: ``compute_fea`` on the b refs only — the
+          reference computes the full (b*t) encode + decode and slices
+          ``bottle_neck_feat[::f]`` (mouth_mask_6D.py:300-316); XLA DCEs the
+          unused decode under jit but cannot slice a conv's batch after the
+          fact, so the dedup is done here at the math level.
+
+        The per-frame work (driving region params, bg affine, dense flow
+        hourglass) is unchanged. PERF_TRAIN.md quantifies the step-time
+        effect.
+        """
+        from dawn_tpu.models.lfg.warp import anti_alias_downsample
+
+        b, t, h, w, c = video.shape
+        drv = video.reshape(b * t, h, w, c)
+        src_rep = jnp.broadcast_to(ref_img[:, None],
+                                   (b, t, h, w, c)).reshape(b * t, h, w, c)
+
+        src_params_b = self.region_predictor.apply(
+            variables["region_predictor"], ref_img)
+        src_params = jax.tree_util.tree_map(
+            lambda x: jnp.repeat(x, t, axis=0), src_params_b)
+        drv_params = self.region_predictor.apply(
+            variables["region_predictor"], drv)
+        bg = self.bg_predictor.apply(variables["bg_predictor"], src_rep, drv)
+
+        sf = self.flow_predictor.scale_factor
+        src_small = (anti_alias_downsample(ref_img, sf) if sf != 1
+                     else ref_img)
+        motion = self.flow_predictor.apply(
+            variables["pixelwise_flow_predictor"],
+            jnp.repeat(src_small, t, axis=0), drv_params, src_params, bg,
+            source_downsampled=True)
+
+        fea = self.generator.apply(variables["generator"], ref_img,
+                                   method=LFGGenerator.compute_fea)
+        ls = motion["optical_flow"].shape[1]
+        return {
+            "real_vid_grid": motion["optical_flow"].reshape(b, t, ls, ls, 2),
+            "real_vid_conf": motion["occlusion_map"].reshape(b, t, ls, ls, 1),
+            "ref_img_fea": fea,
+        }
+
     def reconstruct_video(self, variables: Dict[str, Any], ref_img: jax.Array,
                           video: jax.Array) -> Dict[str, jax.Array]:
         """Teacher pass over a (B, T, H, W, 3) video with per-video ref image.

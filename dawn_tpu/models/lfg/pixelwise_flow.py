@@ -79,8 +79,13 @@ class PixelwiseFlowPredictor(nn.Module):
 
     @nn.compact
     def __call__(self, source_image: jax.Array, driving_region_params,
-                 source_region_params, bg_params=None) -> Dict[str, jax.Array]:
-        if self.scale_factor != 1:
+                 source_region_params, bg_params=None, *,
+                 source_downsampled: bool = False) -> Dict[str, jax.Array]:
+        # source_downsampled: the caller already anti-alias-downsampled the
+        # source (FlowAE.teacher_outputs dedups the blur to once per video
+        # instead of once per frame — the blur is pointwise per image, so
+        # only f32 reassociation differs)
+        if self.scale_factor != 1 and not source_downsampled:
             source_image = anti_alias_downsample(source_image, self.scale_factor)
         n, h, w, _ = source_image.shape
         r1 = self.num_regions + 1

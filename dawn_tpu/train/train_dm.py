@@ -187,9 +187,13 @@ class DMTrainer:
         video, ref_img, cond, mouth_lmk = self.prepare_inputs(rng_jit, batch)
         b, t = video.shape[0], video.shape[1]
 
-        # frozen LFG teacher -> GT flow/occlusion + ref feature (no grad)
+        # frozen LFG teacher -> GT flow/occlusion + ref feature (no grad).
+        # teacher_outputs dedups the per-video ref work (region params /
+        # source blur / encoder feature once per video, not per frame) —
+        # matches reconstruct_video's tensors to f32 roundoff; PERF_TRAIN.md
+        # has the attribution that motivated it
         teacher = jax.lax.stop_gradient(
-            self.flow_ae.reconstruct_video(frozen["lfg"], ref_img, video))
+            self.flow_ae.teacher_outputs(frozen["lfg"], ref_img, video))
         ls = cfg.latent_size
         x_start = jnp.concatenate(
             [teacher["real_vid_grid"], teacher["real_vid_conf"] * 2.0 - 1.0],
@@ -202,8 +206,15 @@ class DMTrainer:
         fea_t = jnp.broadcast_to(fea[:, None], (b, t) + fea.shape[1:])
         mask_t = jnp.broadcast_to(mask_emb[:, None], (b, t) + mask_emb.shape[1:])
 
+        # seq-parallel: make_sharded_step installs a seq_mesh-enabled clone so
+        # temporal attention runs as shard_map + halo exchange instead of a
+        # GSPMD full-T all-gather around the Pallas kernel (VERDICT r4 #2)
+        unet = getattr(self, "_step_unet", None)
+        if unet is None:
+            unet = self.unet
+
         def denoise(x, tvec, c, drop):
-            return self.unet.apply({"params": self._unravel(params)}, x, tvec, c, drop)
+            return unet.apply({"params": self._unravel(params)}, x, tvec, c, drop)
 
         rng_t, rng_p = jax.random.split(rng_diff)
         tvec = jax.random.randint(rng_t, (b,), 0, self.diffusion.timesteps)
@@ -330,7 +341,26 @@ class DMTrainer:
 
         in_shardings must match the batch pytree exactly, and mouth
         landmarks are optional (no --lmk-dir), so the jit is built per
-        batch-key-set and cached."""
+        batch-key-set and cached.
+
+        When the mesh has a >1 'seq' axis the step's UNet is swapped for a
+        seq_mesh-enabled clone (same params, static config only): temporal
+        attention becomes the explicit shard_map + ±window halo exchange
+        (ops/local_attention.seq_sharded_local_attention) with the fused
+        Pallas stripe kernel — forward AND backward — per shard, instead of
+        GSPMD all-gathering full-T q/k/v around the kernel. This bounds
+        per-device attention memory at O(T/shards * (T/shards + 2w)) in
+        TRAINING, the multi-chip extension of the reference's VRAM story
+        (DM_3/modules/local_attention.py:275-342). Constraints: the diffused
+        frame count must divide the 'seq' axis and T/shards >= win_width
+        (seq_sharded_local_attention asserts); and the 'data' axis should
+        fully shard the batch (per-device batch 1) — the UNet's (b, t) ->
+        (b*t) conv reshapes are only GSPMD-expressible then, otherwise GSPMD
+        re-gathers conv activations at full T around every conv (measured on
+        the 8-dev CPU mesh; see test_sharded_train_step_no_full_t_allgather)
+        and the memory bound is silently lost."""
+        seq_on = mesh.shape.get("seq", 1) > 1
+        self._step_unet = self.unet.clone(seq_mesh=mesh) if seq_on else None
         rep = NamedSharding(mesh, P())
         spec = {
             "video": P("data", "seq"), "hubert": P("data", "seq"),
