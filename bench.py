@@ -70,7 +70,8 @@ def main():
     ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
     ap.add_argument("--fuse-cond", default=None, choices=["on", "off"],
                     help="force the fused 3-way condition cross-attention "
-                         "on/off (default: fused on TPU) — A/B hook")
+                         "on/off (default: off — fusion measured a net e2e "
+                         "loss on v5e, 46.0 vs 46.8 fps at 256^2) — A/B hook")
     ap.add_argument("--lfg-dtype", default="f32", choices=["f32", "bf16"],
                     help="LFG decode compute dtype. f32 measured faster at "
                          "BOTH resolutions (bf16: -2%% at 128^2, 46.2 vs "

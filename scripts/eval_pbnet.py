@@ -56,7 +56,8 @@ def main():
     from dawn_tpu.train.data import PBnetPoseDataset
     from dawn_tpu.pipeline.pose_blink import load_pbnet_with_opt, MAX_VALS_8, MIN_VALS_8
     from dawn_tpu.evaluate.metrics import (
-        frechet_distance, diversity, temporal_smoothness, l1_reconstruction)
+        frechet_distance, diversity, mean_acceleration, temporal_smoothness,
+        l1_reconstruction)
 
     dims = {"pose": (6, 0), "blink": (2, 0), "both": (6, 2)}[args.kind]
     model, variables = load_pbnet_with_opt(args.ckpt, *dims)
@@ -71,8 +72,20 @@ def main():
         num_classes = args.stgcn_classes or len(dataset.names)
         if args.stgcn_ckpt:
             from dawn_tpu.evaluate.stgcn_eval import load_stgcn
+            # in_channels/num_class come from the checkpoint itself; the
+            # head-sequence feature dim must equal its V*C to reshape into
+            # the recognizer's joint layout (ADVICE r4)
+            smodel, svars = load_stgcn(args.stgcn_ckpt)
             feat_dim = sum(dims)
-            smodel, svars = load_stgcn(args.stgcn_ckpt, feat_dim, num_classes)
+            v_ck = int(np.asarray(smodel.graph).shape[1])
+            if feat_dim != v_ck * smodel.in_channels:
+                raise SystemExit(
+                    f"--stgcn-ckpt recognizer expects (V={v_ck}, "
+                    f"C={smodel.in_channels}) motions = {v_ck * smodel.in_channels} "
+                    f"values/frame, but --kind {args.kind} dumps {feat_dim}; "
+                    f"use motion dumps matching the checkpoint layout or the "
+                    f"built-in --stgcn dawn_head recognizer")
+            num_classes = smodel.num_class
         else:
             from dawn_tpu.evaluate.stgcn_eval import make_dawn_head_stgcn
             smodel, svars = make_dawn_head_stgcn(num_classes,
@@ -125,6 +138,9 @@ def main():
                 [temporal_smoothness(g) for g in gts])),
             "l1": float(np.mean([l1_reconstruction(p, g)
                                  for p, g in zip(preds, gts)])),
+            # othermetrics/acceleration.py: mean ||second difference||
+            "acceleration_pred": mean_acceleration(preds),
+            "acceleration_gt": mean_acceleration(gts),
         }
         if stgcn_pack is not None:
             ev, v_nodes = stgcn_pack

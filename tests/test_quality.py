@@ -216,3 +216,143 @@ def test_eval_quality_script(tmp_path, gen_setup):
               "mouth_ssim", "per_video_l1"):
         assert k in report, k
     assert report["l1"] > 0
+
+
+class TestFrechetDegenerate:
+    """Regularized sqrtm (VERDICT r4 weak #5): rank-deficient covariances
+    must produce a finite, warning-free Frechet distance — the reference's
+    eps fallback (action2motion/fid.py:6-30) plus warning-proofing."""
+
+    def test_degenerate_covariance_finite_and_silent(self):
+        import warnings
+        from dawn_tpu.evaluate.metrics import frechet_distance
+
+        rng = np.random.RandomState(0)
+        # constant columns => zero-variance dims => singular covariance
+        a = np.concatenate([rng.randn(40, 3), np.ones((40, 5))], axis=1)
+        b = np.concatenate([rng.randn(40, 3) + 1.0, np.ones((40, 5)) * 2],
+                           axis=1)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            d = frechet_distance(a, b)
+        assert np.isfinite(d)
+        assert d > 0
+
+    def test_degenerate_stats_from_stats_path(self):
+        import warnings
+        from dawn_tpu.evaluate.stgcn_eval import frechet_from_stats
+
+        rng = np.random.RandomState(1)
+        # fewer samples than dims: covariance rank-deficient by construction
+        fa = rng.randn(4, 16)
+        fb = rng.randn(4, 16) + 0.5
+        sa = (fa.mean(0), np.cov(fa, rowvar=False))
+        sb = (fb.mean(0), np.cov(fb, rowvar=False))
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            d = frechet_from_stats(sa, sb)
+        assert np.isfinite(d)
+
+    def test_regular_case_unchanged(self):
+        from dawn_tpu.evaluate.metrics import frechet_distance
+
+        rng = np.random.RandomState(2)
+        a = rng.randn(200, 8)
+        b = rng.randn(200, 8)
+        d_same = frechet_distance(a, a.copy())
+        d_diff = frechet_distance(a, b + 3.0)
+        # identical inputs trip the eps fallback (s@s is at the warning
+        # threshold); the residual is the offset's trace shift ~2*D*eps
+        assert abs(d_same) < 1e-4
+        assert d_diff > 50
+
+
+def test_eval_quality_released(tmp_path, monkeypatch):
+    """The quality-parity hand-off command (VERDICT r4 #8): --released runs
+    the full generate -> compare-vs-reference-outputs flow with tiny random
+    stand-ins, so on a machine with the released checkpoints only the weight
+    paths change."""
+    from scipy.io import wavfile
+    from PIL import Image
+    from dawn_tpu.models.hubert.model import HubertConfig
+
+    tiny = HubertConfig(hidden_size=1024, num_hidden_layers=1,
+                        num_attention_heads=16, intermediate_size=128,
+                        conv_dim=(32,) * 7)
+    monkeypatch.setattr(HubertConfig, "large", classmethod(lambda cls: tiny))
+
+    rng = np.random.RandomState(0)
+    wav_path = str(tmp_path / "speech.wav")
+    wavfile.write(wav_path, 16000,
+                  (rng.randn(int(16000 * 1.2)) * 3000).astype(np.int16))
+    images = []
+    for i in range(2):
+        p = str(tmp_path / f"id{i}.png")
+        Image.fromarray((rng.rand(40, 40, 3) * 255).astype(np.uint8)).save(p)
+        images.append(p)
+    pairs = tmp_path / "pairs.txt"
+    pairs.write_text("".join(f"{img} {wav_path}\n" for img in images))
+
+    # reference-framework outputs: random stand-ins named <tag>.npy
+    ref_dir = tmp_path / "reference_outputs"
+    ref_dir.mkdir()
+    t = 30
+    for i in range(2):
+        np.save(ref_dir / f"id{i}_speech.npy",
+                (rng.rand(t, 32, 32, 3) * 255).astype(np.uint8))
+
+    import importlib.util
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "eval_quality_script", os.path.join(repo, "scripts/eval_quality.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = tmp_path / "released_quality.json"
+    monkeypatch.setattr(sys, "argv", [
+        "eval_quality.py", "--released", "--pairs", str(pairs),
+        "--reference-dir", str(ref_dir), "--resolution", "32",
+        "--sampling-step", "2", "--win-width", "4",
+        "--output", str(tmp_path / "out"), "--cache", str(tmp_path / "cache"),
+        "--out", str(out)])
+    mod.main()
+
+    report = json.loads(out.read_text())
+    for k in ("fvd_lfg_frames", "l1", "av_corr", "av_sync_reference",
+              "per_video_l1", "assets"):
+        assert k in report, k
+    assert set(report["per_video_l1"]) == {"id0_speech", "id1_speech"}
+    assert report["assets"]["released_weights"] is False
+    assert np.isfinite(report["l1"]) and report["l1"] > 0
+
+
+def test_mean_acceleration_reference_parity():
+    """othermetrics/acceleration.py parity: second-difference L2 norms,
+    length-masked, sum/count over all valid entries (:7-29)."""
+    import torch
+    from dawn_tpu.evaluate.metrics import mean_acceleration
+
+    r = np.random.RandomState(0)
+    n, t, j, f = 3, 12, 4, 6
+    motions = r.randn(n, t, j, f).astype(np.float32)
+    lengths = np.array([12, 9, 5])
+
+    # the reference computation (acceleration.py:12-28) on one "batch"
+    motion = torch.from_numpy(motions)
+    velocity = motion[:, 1:] - motion[:, :-1]
+    acceleration = velocity[:, 1:] - velocity[:, :-1]
+    normed = torch.linalg.norm(acceleration, axis=3)
+    lens = torch.from_numpy(lengths - 2)
+    mask = torch.arange(t - 2)[None] < lens[:, None]   # lengths_to_mask
+    used = normed[mask]
+    expected = used.sum().item() / np.prod(used.shape)
+
+    got = mean_acceleration(motions, lengths)
+    np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+    # (T, D) sequences and full lengths
+    flat = [m.reshape(t, j * f) for m in motions]
+    got2 = mean_acceleration(flat)
+    m3 = torch.linalg.norm(
+        torch.from_numpy(np.diff(np.diff(motions.reshape(n, t, 1, j * f),
+                                         axis=1), axis=1)), axis=3)
+    np.testing.assert_allclose(got2, float(m3.mean()), rtol=1e-6)
