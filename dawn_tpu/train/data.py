@@ -44,21 +44,72 @@ HDTF_BAD_VIDEOS = ["WDA_DanKildee_000", "WDA_PatrickLeahy1_000",
                    "WRA_KristiNoem2_000", "RD_Radio39_000"]
 
 
-def read_block_range(video_dir: str, start: int, end: int) -> np.ndarray:
-    """Frames [start, end) across chunk_%04d.npy blocks (get_block_data,
-    datasets_..._lmk.py:149-181). The last block index comes from end-1:
-    a range ending exactly on a block boundary (e.g. [0, 25)) must not
-    touch the next chunk, which may not exist."""
+def _block_paths(video_dir: str, start: int, end: int):
+    """chunk paths + intra-block offsets for frames [start, end). The last
+    block index comes from end-1: a range ending exactly on a block boundary
+    (e.g. [0, 25)) must not touch the next chunk, which may not exist."""
     assert end > start, (start, end)
     b0, b1 = start // BLOCK, (end - 1) // BLOCK
     p0, p1 = start - b0 * BLOCK, end - b1 * BLOCK
-    paths = [os.path.join(video_dir, f"chunk_{i:04d}.npy") for i in range(b0, b1 + 1)]
-    if b0 == b1:
-        return np.load(paths[0])[p0:p1]
-    parts = [np.load(paths[0])[p0:]]
-    parts += [np.load(p) for p in paths[1:-1]]
-    parts.append(np.load(paths[-1])[:p1])
+    paths = [os.path.join(video_dir, f"chunk_{i:04d}.npy")
+             for i in range(b0, b1 + 1)]
+    return paths, p0, p1
+
+
+def _assemble_blocks(arrs, p0: int, p1: int) -> np.ndarray:
+    if len(arrs) == 1:
+        return arrs[0][p0:p1]
+    parts = [arrs[0][p0:]] + list(arrs[1:-1]) + [arrs[-1][:p1]]
     return np.concatenate(parts)
+
+
+def read_block_range(video_dir: str, start: int, end: int,
+                     reader: "Optional[NativeChunkReader]" = None) -> np.ndarray:
+    """Frames [start, end) across chunk_%04d.npy blocks (get_block_data,
+    datasets_..._lmk.py:149-181). With ``reader`` the chunk files are read
+    by the native threaded prefetcher (parallel I/O); default is np.load."""
+    paths, p0, p1 = _block_paths(video_dir, start, end)
+    arrs = reader.read_many(paths) if reader is not None \
+        else [np.load(p) for p in paths]
+    return _assemble_blocks(arrs, p0, p1)
+
+
+class NativeChunkReader:
+    """Parallel .npy reads through the C++ NpyPrefetcher
+    (runtime/src/npy_prefetch.cpp) — the torch-DataLoader-workers
+    replacement. ``read_many`` submits every path at once so the reader
+    threads overlap the file I/O, then reassembles results in order."""
+
+    def __init__(self, n_threads: int = 4, queue_cap: int = 32):
+        from dawn_tpu.runtime.native import NpyPrefetcher
+        self._pf = NpyPrefetcher(n_threads, queue_cap)
+
+    @staticmethod
+    def _header(path):
+        """npy dtype/shape — the C++ side returns HEADER-STRIPPED payload
+        bytes (npy_prefetch.cpp::npy_payload_offset), so the tiny header is
+        read here while the bulk payload reads run on the pool threads."""
+        with open(path, "rb") as f:
+            ver = np.lib.format.read_magic(f)
+            if ver == (1, 0):
+                return np.lib.format.read_array_header_1_0(f)
+            return np.lib.format.read_array_header_2_0(f)
+
+    def read_many(self, paths) -> List[np.ndarray]:
+        metas = [self._header(p) for p in paths]
+        for i, p in enumerate(paths):
+            self._pf.submit(p, i)
+        out: List[Optional[np.ndarray]] = [None] * len(paths)
+        cap = max(os.path.getsize(p) for p in paths)
+        for _ in paths:
+            buf, tag = self._pf.next(cap)
+            shape, fortran, dtype = metas[tag]
+            arr = np.frombuffer(buf.tobytes(), dtype=dtype)
+            out[tag] = arr.reshape(shape, order="F" if fortran else "C")
+        return out  # type: ignore[return-value]
+
+    def close(self) -> None:
+        self._pf.close()
 
 
 def _pad_frames(a: np.ndarray, n: int) -> np.ndarray:
@@ -97,7 +148,8 @@ class HDTFVideoDataset:
     def __len__(self) -> int:
         return len(self.videos)
 
-    def sample(self, idx: int) -> Dict[str, np.ndarray]:
+    def sample(self, idx: int,
+               reader: Optional[NativeChunkReader] = None) -> Dict[str, np.ndarray]:
         name = self.videos[idx]
         total = self.len_dict[name]
         nf = min(self.num_frames, total)
@@ -105,7 +157,8 @@ class HDTFVideoDataset:
         end = start + nf
 
         def block(kind):
-            return read_block_range(os.path.join(self.dirs[kind], name), start, end)
+            return read_block_range(os.path.join(self.dirs[kind], name),
+                                    start, end, reader)
 
         out = {
             "video": block("frames").astype(np.float32),       # (T, H, W, 3) 0-255
@@ -127,14 +180,16 @@ class HDTFVideoDataset:
             out["bbox"] = np.array([0, w - 1, 0, h - 1, h, w], np.float32)
         return out
 
-    def batches(self, batch_size: int, steps: int) -> Iterator[Dict[str, np.ndarray]]:
+    def batches(self, batch_size: int, steps: int,
+                reader: Optional[NativeChunkReader] = None,
+                ) -> Iterator[Dict[str, np.ndarray]]:
         """Infinite shuffled fixed-shape batches. Videos shorter than
         num_frames are edge-padded to the batch shape (same padding the
         inference pipeline uses for length buckets) — np.stack over ragged
         samples would crash mid-training otherwise."""
         for _ in range(steps):
             idxs = self.rng.randint(len(self.videos), size=batch_size)
-            samples = [self.sample(int(i)) for i in idxs]
+            samples = [self.sample(int(i), reader) for i in idxs]
             batch = {}
             for k in samples[0]:
                 if k == "name":
@@ -144,6 +199,41 @@ class HDTFVideoDataset:
                         for s in samples]
                 batch[k] = np.stack(arrs)
             yield batch
+
+    def batches_prefetched(self, batch_size: int, steps: int,
+                           n_threads: int = 4, depth: int = 2,
+                           ) -> Iterator[Dict[str, np.ndarray]]:
+        """Overlapped input pipeline (VERDICT r4 #7): a host thread assembles
+        batches — chunk files read in parallel by the C++ NpyPrefetcher —
+        into a bounded queue while the device runs the current step. The
+        depth-2 queue is the reference CudaDataLoader's queue_size
+        (PBnet/src/utils/utils.py:32); batch CONTENT is identical to
+        :meth:`batches` (same self.rng stream, same assembly)."""
+        import queue
+        import threading
+
+        reader = NativeChunkReader(n_threads)
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
+
+        def worker():
+            try:
+                for b in self.batches(batch_size, steps, reader=reader):
+                    q.put(b)
+                q.put(None)
+            except BaseException as e:  # surfaced on the consumer side
+                q.put(e)
+            finally:
+                reader.close()
+
+        th = threading.Thread(target=worker, daemon=True)
+        th.start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
 
 
 # PBnet pose normalization constants (datasets_..._eye_fast.py:62-65)

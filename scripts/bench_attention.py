@@ -64,6 +64,14 @@ def main():
     ap.add_argument("--block-q", type=int, default=64)
     ap.add_argument("--g-rows", type=int, default=None,
                     help="rows per pallas grid step (default: auto)")
+    ap.add_argument("--stripe", type=int, default=0, metavar="SHARDS",
+                    help="also bench local_attention_packed_stripe at the "
+                         "per-shard shape of a SHARDS-way seq-parallel mesh "
+                         "(t_q = t/SHARDS, t_k = t_q + 2w): the kernel each "
+                         "device runs inside seq_sharded_local_attention, "
+                         "executed standalone on the one real chip "
+                         "(VERDICT r4 #3) — fwd, fused bwd, and the einsum "
+                         "stripe reference, with MSE")
     ap.add_argument("--skip-full", action="store_true")
     ap.add_argument("--skip-banded", action="store_true")
     ap.add_argument("--skip-pallas", action="store_true",
@@ -130,6 +138,46 @@ def main():
             # no tiled-pallas output to compare against: use packed,
             # unpacked to the (n, h, t, d) layout
             op = opk.reshape(n, t, h, d).transpose(0, 2, 1, 3)
+
+    if args.stripe:
+        from dawn_tpu.ops.local_attention import (
+            PACKED_TQ_MULTIPLE, _stripe_attn_einsum, _stripe_bias,
+            local_attention_packed_stripe, local_attention_packed_stripe_tpu)
+
+        sh = args.stripe
+        t_loc = t // sh
+        assert t_loc >= w, (t_loc, w)
+        t_k = t_loc + 2 * w
+        tqp = PACKED_TQ_MULTIPLE * -(-t_loc // PACKED_TQ_MULTIPLE)
+        tkp = 128 * -(-t_k // 128)
+        bias = _stripe_bias(h, t_loc, w, vec, tqp, tkp)
+
+        def pack2(x, tt):
+            return x.transpose(0, 2, 1, 3).reshape(n, t, h * d)[:, :tt]
+
+        qs, ks, vs2 = pack2(q, t_loc), pack2(k, t_k), pack2(v, t_k)
+        stripe_p = scanned(lambda q, k, v: local_attention_packed_stripe(
+            q, k, v, bias, h))
+        stripe_e = scanned(lambda q, k, v: _stripe_attn_einsum(
+            q, k, v, bias, h))
+        tsp, osp = timeit(stripe_p, qs, ks, vs2)
+        tse, ose = timeit(stripe_e, qs, ks, vs2)
+        mse = float(jnp.mean((osp.astype(jnp.float32)
+                              - ose.astype(jnp.float32)) ** 2))
+        print(f"stripe pallas ({sh}-shard, t_q={t_loc}, t_k={t_k}): "
+              f"{tsp*1e3:8.2f} ms/op")
+        print(f"stripe einsum:                        {tse*1e3:8.2f} ms/op")
+        print(f"stripe pallas-vs-einsum MSE: {mse:.3e}")
+
+        # fused backward (the training path): grad wrt q through the
+        # custom-vjp entry; the scanned carry is dq (same shape as q)
+        loss = lambda q, k, v: jnp.sum(  # noqa: E731
+            local_attention_packed_stripe_tpu(q, k, v, bias, h)
+            .astype(jnp.float32) ** 2)
+        gfn = jax.grad(loss)
+        stripe_b = scanned(lambda q, k, v: gfn(q, k, v).astype(q.dtype))
+        tsb, _ = timeit(stripe_b, qs, ks, vs2)
+        print(f"stripe fused fwd+bwd (grad q):        {tsb*1e3:8.2f} ms/op")
 
     if not args.skip_full and t <= 512:
         bias_full = (t5_bias_matrix(emb, t, 32, 32)

@@ -4,7 +4,7 @@ The quality leg of the north-star (BASELINE.md): reconstruction fixtures on
 the held-out split, JSON metrics out — the reference's golden-output pattern
 (LFG/test_flowautoenc_hdtf_video.py:57 writes per-video losses to JSON).
 
-Usage:
+Usage (dir-compare mode):
   python scripts/eval_quality.py --real-dir DIR --fake-dir DIR \
       [--lfg-ckpt LFG_128.pth] [--i3d-ckpt rgb_imagenet.pt] \
       [--mouth-lmk-dir DIR] [--out quality.json]
@@ -16,6 +16,28 @@ only — Frechet numbers are then NOT comparable across runs). With
 --i3d-ckpt (the public pytorch-i3d Kinetics-400 weights; torch-free
 reader) the report additionally carries the REAL standard FVD
 (evaluate/i3d.py, parity-tested converter).
+
+Usage (--released: the quality-parity HAND-OFF, VERDICT r4 #8):
+  python scripts/eval_quality.py --released \
+      --pairs pairs.txt --resolution 128 \
+      --dawn-ckpt DAWN_128.pth --lfg-ckpt LFG_128_1000ep.pth \
+      --pose-ckpt .../pose/checkpoint.pth.tar \
+      --blink-ckpt .../blink/checkpoint.pth.tar \
+      --hubert-dir .../hubert-large-ls960-ft \
+      --reference-dir DIR [--i3d-ckpt rgb_imagenet.pt] \
+      [--out released_quality.json]
+
+On any machine that has the released checkpoints (README.md:80-88 of the
+reference lists them) this ONE command executes the FVD / lip-sync parity
+claim end-to-end: each "image audio" pair in pairs.txt runs through the full
+4-stage pipeline with the released weights, the generated frames are compared
+against the reference implementation's outputs for the same pairs
+(--reference-dir holds <image>_<audio>.mp4 or .npy, e.g. produced by
+unified_video_generator.py), and the report carries Frechet distances (LFG
+feature space + real I3D FVD when --i3d-ckpt is given), per-pair L1, mouth
+L1/SSIM, and the audio-offset-sweep AV-sync proxy of BOTH framework outputs.
+In this zero-egress image only the weights are missing: the flow is tested
+with tiny random stand-ins (tests/test_quality.py::test_eval_quality_released).
 """
 
 import argparse
@@ -38,10 +60,125 @@ def _load_videos(d):
     return names, vids
 
 
+def _load_reference_video(ref_dir, tag, size):
+    """Reference-framework output for a pair tag: <tag>.npy or <tag>.mp4."""
+    import numpy as np
+    npy = os.path.join(ref_dir, tag + ".npy")
+    if os.path.exists(npy):
+        v = np.load(npy)
+        return v.astype(np.float32) / 255.0 if v.dtype == np.uint8 \
+            else v.astype(np.float32)
+    mp4 = os.path.join(ref_dir, tag + ".mp4")
+    if not os.path.exists(mp4):
+        raise FileNotFoundError(
+            f"--reference-dir has neither {tag}.npy nor {tag}.mp4 — generate "
+            f"the reference outputs with unified_video_generator.py first")
+    import cv2
+    cap = cv2.VideoCapture(mp4)
+    frames = []
+    while True:
+        ok, bgr = cap.read()
+        if not ok:
+            break
+        if bgr.shape[:2] != (size, size):
+            bgr = cv2.resize(bgr, (size, size))
+        frames.append(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB))
+    cap.release()
+    return np.asarray(frames, np.float32) / 255.0
+
+
+def run_released(args):
+    """The executable FVD/lip-sync parity comparison vs the reference's own
+    outputs (VERDICT r4 #8). Generates with THIS framework (released weights
+    when given, documented fallbacks otherwise), loads the reference
+    implementation's videos for the same pairs, and emits the comparison."""
+    import json
+
+    import numpy as np
+    from dawn_tpu.pipeline.generator import GeneratorPaths, VideoGenerator
+    from dawn_tpu.evaluate.quality import av_sync_proxy, evaluate_quality
+
+    if args.pairs:
+        with open(args.pairs) as f:
+            pairs = [ln.split() for ln in f if ln.strip()]
+    else:
+        pairs = [(args.image, args.audio)]
+
+    paths = GeneratorPaths(
+        hubert_dir=args.hubert_dir or GeneratorPaths.hubert_dir,
+        pbnet_pose_ckpt=args.pose_ckpt or GeneratorPaths.pbnet_pose_ckpt,
+        pbnet_blink_ckpt=args.blink_ckpt or GeneratorPaths.pbnet_blink_ckpt,
+        dawn_ckpt=args.dawn_ckpt, lfg_ckpt=args.lfg_ckpt)
+
+    resident = {"_video_model": None, "_hubert": None, "_pbnet": {},
+                "_sampler": None}
+    tags, ours, refs, audio = [], [], [], []
+    for image, wav in pairs:
+        name = os.path.splitext(os.path.basename(image))[0]
+        tag = f"{name}_{os.path.splitext(os.path.basename(wav))[0]}"
+        cache = os.path.join(args.cache, tag)
+        outdir = os.path.join(args.output, tag)
+        gen = VideoGenerator(wav, image, outdir, cache, args.resolution,
+                             paths, win_width=args.win_width,
+                             sampling_step=args.sampling_step, seed=args.seed)
+        for k, v in resident.items():
+            if v:
+                setattr(gen, k, v)
+        gen.run()
+        resident = {k: getattr(gen, k) for k in resident}
+
+        import cv2
+        img_dir = os.path.join(outdir, name, "img")
+        frames = [cv2.cvtColor(cv2.imread(os.path.join(img_dir, f)),
+                               cv2.COLOR_BGR2RGB)
+                  for f in sorted(os.listdir(img_dir)) if f.endswith(".png")]
+        tags.append(tag)
+        ours.append(np.asarray(frames, np.float32) / 255.0)
+        refs.append(_load_reference_video(args.reference_dir, tag,
+                                          args.resolution))
+        audio.append(np.load(os.path.join(cache, "target_audio.npy")))
+
+    tmin = min(min(v.shape[0] for v in ours), min(r.shape[0] for r in refs))
+    F = np.stack([v[:tmin] for v in ours])
+    R = np.stack([r[:tmin] for r in refs])
+    A = np.stack([a[:tmin] for a in audio])
+
+    model, variables = resident["_video_model"]
+    report = evaluate_quality(model.generator, variables["generator"], R, F,
+                              audio_feats=A)
+    # AV-sync of BOTH frameworks' outputs against the same driving audio —
+    # the lip-sync parity comparison that needs no external SyncNet
+    report["av_sync_reference"] = av_sync_proxy(R, A)
+    if args.i3d_ckpt:
+        from dawn_tpu.evaluate.i3d import fvd_i3d
+        from dawn_tpu.weights.i3d_convert import convert_i3d
+        report["fvd_i3d"] = float(fvd_i3d(convert_i3d(args.i3d_ckpt), R, F))
+    report["per_video_l1"] = {
+        t: float(np.abs(F[i] - R[i]).mean()) for i, t in enumerate(tags)}
+    report["assets"] = {
+        "dawn_ckpt": args.dawn_ckpt, "lfg_ckpt": args.lfg_ckpt,
+        "pose_ckpt": args.pose_ckpt, "blink_ckpt": args.blink_ckpt,
+        "hubert_dir": args.hubert_dir, "i3d_ckpt": args.i3d_ckpt,
+        "released_weights": bool(args.dawn_ckpt and args.lfg_ckpt),
+    }
+    if not report["assets"]["released_weights"]:
+        print("WARNING: running WITHOUT released checkpoints — numbers are a "
+              "pipeline smoke, not the parity claim", file=sys.stderr)
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps({k: v for k, v in report.items()
+                      if not isinstance(v, dict)}, indent=2))
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--real-dir", required=True)
-    ap.add_argument("--fake-dir", required=True)
+    ap.add_argument("--released", action="store_true",
+                    help="generate with this framework + compare against the "
+                         "reference implementation's outputs (the parity "
+                         "hand-off; see module docstring)")
+    ap.add_argument("--real-dir", default=None)
+    ap.add_argument("--fake-dir", default=None)
     ap.add_argument("--lfg-ckpt", default=None)
     ap.add_argument("--i3d-ckpt", default=None,
                     help="pytorch-i3d Kinetics-400 state dict (.pt) for the "
@@ -50,6 +187,23 @@ def main():
     ap.add_argument("--out", default="quality.json")
     ap.add_argument("--platform", default=None,
                     help="force jax platform (e.g. cpu)")
+    # --released mode arguments
+    ap.add_argument("--pairs", default=None,
+                    help="file of 'image audio' lines; default: demo pair")
+    ap.add_argument("--image", default="real_female_1.jpeg")
+    ap.add_argument("--audio", default="WRA_MarcoRubio_000.wav")
+    ap.add_argument("--reference-dir", default=None,
+                    help="reference-framework outputs: <tag>.mp4/.npy per pair")
+    ap.add_argument("--dawn-ckpt", default=None)
+    ap.add_argument("--pose-ckpt", default=None)
+    ap.add_argument("--blink-ckpt", default=None)
+    ap.add_argument("--hubert-dir", default=None)
+    ap.add_argument("--resolution", type=int, default=128)
+    ap.add_argument("--sampling-step", type=int, default=20)
+    ap.add_argument("--win-width", type=int, default=40)
+    ap.add_argument("--output", default="output/eval_released")
+    ap.add_argument("--cache", default="cache")
+    ap.add_argument("--seed", type=int, default=1234)
     args = ap.parse_args()
 
     import numpy as np
@@ -60,6 +214,14 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+
+    if args.released:
+        if not args.reference_dir:
+            ap.error("--released requires --reference-dir (the reference "
+                     "implementation's outputs for the same pairs)")
+        return run_released(args)
+    if not (args.real_dir and args.fake_dir):
+        ap.error("give --real-dir and --fake-dir (or --released)")
 
     from dawn_tpu.models.lfg import LFGGenerator
     from dawn_tpu.evaluate.quality import evaluate_quality, lip_sync_proxy

@@ -33,7 +33,13 @@ def main():
     ap.add_argument("--audio", default="WRA_MarcoRubio_000.wav")
     ap.add_argument("--output", default="output/ood_test")
     ap.add_argument("--cache", default="cache")
-    ap.add_argument("--resolution", type=int, default=128, choices=[128, 256])
+    ap.add_argument("--resolution", type=int, default=128,
+                    help="128/256 in production (the shipped checkpoints); "
+                         "other sizes run the assetless random-weight "
+                         "topology (tests)")
+    ap.add_argument("--sampling-step", type=int, default=20)
+    ap.add_argument("--win-width", type=int, default=40)
+    ap.add_argument("--bucket-frames", type=int, default=25)
     ap.add_argument("--both-ckpt", default=None,
                     help="joint pose+blink PBnet checkpoint (reemb5 8-d)")
     ap.add_argument("--pose-ckpt", default=None)
@@ -102,6 +108,9 @@ def main():
                     os.remove(os.path.join(img_dir, f))
             gen = VideoGenerator(audio, image, outdir, cache,
                                  args.resolution, paths,
+                                 win_width=args.win_width,
+                                 sampling_step=args.sampling_step,
+                                 bucket_frames=args.bucket_frames,
                                  seed=args.seed + s_idx)
             for k, v in resident.items():
                 if v:
