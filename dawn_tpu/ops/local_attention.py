@@ -298,7 +298,8 @@ def _packed_query_chunks(t: int, tq: int, tk: int, window: int) -> tuple:
 
 def _local_attn_packed_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *,
                               hb: int, dh: int,
-                              chunks: tuple = None, tq: int = 0, tk: int = 0):
+                              chunks: tuple = None, tq: int = 0, tk: int = 0,
+                              prob_dtype=None):
     """Whole-sequence fused attention for a 128-lane group of heads.
 
     Blocks are (G, t*, hb*dh=128) lane-slices of the NATURAL
@@ -330,8 +331,16 @@ def _local_attn_packed_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *,
                                     preferred_element_type=jnp.float32)
             s = s + bias_ref[i][q0:q1, k0:k1][None]
             s = s - s.max(axis=-1, keepdims=True)
-            p = jnp.exp(s)
-            den = p.sum(axis=-1, keepdims=True)
+            if prob_dtype is not None:
+                # PERF_256 experiment (VERDICT r4 #4): shrink the live score
+                # tile — max-subtraction stays f32 (stability), the exp/AV
+                # chain runs on prob_dtype (bf16) tiles, the row sum
+                # accumulates back in f32
+                p = jnp.exp(s.astype(prob_dtype))
+                den = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+            else:
+                p = jnp.exp(s)
+                den = p.sum(axis=-1, keepdims=True)
             o = jax.lax.dot_general(
                 p.astype(v.dtype), v[:, k0:k1, sl], (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)
@@ -350,6 +359,7 @@ PACKED_TQ_MULTIPLE = 8
 def local_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
                            bias_vec: Optional[jax.Array], window: int,
                            heads: int, g_rows: int = 16,
+                           prob_dtype=None,
                            interpret: bool = False) -> jax.Array:
     """Pallas sliding-window attention on the PACKED (N, T, heads*dh) layout.
 
@@ -415,7 +425,8 @@ def local_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
     qspec = pl.BlockSpec((g, tq, hb * dh), lambda hh, s: (s, 0, hh))
     kvspec = pl.BlockSpec((g, tk, hb * dh), lambda hh, s: (s, 0, hh))
     kernel = functools.partial(_local_attn_packed_kernel, hb=hb, dh=dh,
-                               chunks=_packed_query_chunks(t, tq, tk, window))
+                               chunks=_packed_query_chunks(t, tq, tk, window),
+                               prob_dtype=prob_dtype)
     out = pl.pallas_call(
         kernel,
         grid=(heads // hb, n // g),
@@ -486,6 +497,22 @@ def local_attention_packed_stripe(q: jax.Array, k: jax.Array, v: jax.Array,
     return out[:, :t_q]
 
 
+def _bwd_vmem_limit(gg: int, tq: int, tk: int, hd: int, heads: int,
+                    itemsize: int) -> int:
+    """Scoped-VMEM budget for the fused backward kernels, from the actual
+    block shapes: in/out q-side (gg,tq,hd) + k-side (gg,tk,hd) blocks ×2 for
+    double-buffering, the resident (heads,tq,tk) f32 bias/dS accumulator
+    pair, and the per-head (gg,tq,tk) f32 score/p/dp/ds live set. The old
+    square-shape heuristic (8*gg*tq*tk) under-budgeted RECTANGULAR stripe
+    blocks (tk = t_loc + 2w >> tq) and Mosaic stack-OOM'd at the 256²-scale
+    stripe (needs 14.9 MB, was granted 12.4 MB — measured round 5)."""
+    io_blocks = 2 * gg * (2 * tq + 4 * tk) * hd * itemsize   # dbl-buffered
+    bias_resident = 2 * heads * tq * tk * 4
+    score_live = 6 * gg * tq * tk * 4
+    return int(min(120 << 20,
+                   io_blocks + bias_resident + score_live + (8 << 20)))
+
+
 def _stripe_bwd_pallas(q, k, v, bias, g, heads, interpret: bool = False):
     """Fused backward for :func:`local_attention_packed_stripe`: the same
     rectangular-block machinery as ``_packed_bwd_pallas`` (the kernel body is
@@ -526,9 +553,8 @@ def _stripe_bwd_pallas(q, k, v, bias, g, heads, interpret: bool = False):
                    jax.ShapeDtypeStruct((n, tk, hd), q.dtype),
                    jax.ShapeDtypeStruct((heads, tq, tk), jnp.float32)),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(min(
-                100 << 20,
-                8 * gg * tq * tk * 4 + 2 * heads * tq * tk * 4 + (8 << 20)))),
+            vmem_limit_bytes=_bwd_vmem_limit(gg, tq, tk, hd, heads,
+                                             q.dtype.itemsize)),
         interpret=interpret,
     )(bias, qp, kp, vp, gp)
     return (dq[:, :t_q], dk[:, :t_k], dv[:, :t_k],
@@ -773,9 +799,8 @@ def _packed_bwd_pallas(q, k, v, g, bias_vec, window, heads,
                    jax.ShapeDtypeStruct((n, tk, hd), q.dtype),
                    jax.ShapeDtypeStruct((heads, tq, tk), jnp.float32)),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(min(
-                100 << 20,
-                8 * gg * tq * tk * 4 + 2 * heads * tq * tk * 4 + (8 << 20)))),
+            vmem_limit_bytes=_bwd_vmem_limit(gg, tq, tk, hd, heads,
+                                             q.dtype.itemsize)),
         interpret=interpret,
     )(bias, prep(q, tq), prep(k, tk), prep(v, tk), prep(g, tq))
 

@@ -131,13 +131,19 @@ class HDTFVideoDataset:
     def __init__(self, frames_dir: str, hubert_dir: str, pose_dir: str,
                  eye_dir: str, length_dict_path: str,
                  lmk_dir: Optional[str] = None, mode: str = "train",
-                 num_frames: int = 20, seed: int = 0):
+                 num_frames: int = 20, seed: int = 0,
+                 start_stride: Optional[int] = None):
         with open(length_dict_path, "rb") as f:
             self.len_dict = pickle.load(f)
         self.dirs = dict(frames=frames_dir, hubert=hubert_dir, pose=pose_dir,
                          eye=eye_dir, lmk=lmk_dir)
         self.mode = mode
         self.num_frames = num_frames
+        # start_stride quantizes clip starts to a grid so the same (video,
+        # start) clips recur across epochs — the teacher-cache mode's key
+        # space (PERF_TRAIN.md). None = the reference's uniform random start
+        # (datasets_..._lmk.py:141).
+        self.start_stride = start_stride
         self.rng = np.random.RandomState(seed)
         if mode == "train":
             self.videos = [v for v in sorted(os.listdir(frames_dir))
@@ -153,7 +159,13 @@ class HDTFVideoDataset:
         name = self.videos[idx]
         total = self.len_dict[name]
         nf = min(self.num_frames, total)
-        start = 0 if total <= nf else int(self.rng.randint(total - nf))
+        if total <= nf:
+            start = 0
+        elif self.start_stride:
+            n_starts = (total - nf) // self.start_stride + 1
+            start = int(self.rng.randint(n_starts)) * self.start_stride
+        else:
+            start = int(self.rng.randint(total - nf))
         end = start + nf
 
         def block(kind):
@@ -166,6 +178,7 @@ class HDTFVideoDataset:
             "pose": block("pose").astype(np.float32),          # (T, 7)
             "blink": block("eye").astype(np.float32)[:, :2],   # (T, 2)
             "name": name,
+            "start": start,
         }
         if self.dirs["lmk"]:
             lmk = block("lmk").astype(np.float32)              # (T, 68, 2)
@@ -182,26 +195,34 @@ class HDTFVideoDataset:
 
     def batches(self, batch_size: int, steps: int,
                 reader: Optional[NativeChunkReader] = None,
+                with_meta: bool = False,
                 ) -> Iterator[Dict[str, np.ndarray]]:
         """Infinite shuffled fixed-shape batches. Videos shorter than
         num_frames are edge-padded to the batch shape (same padding the
         inference pipeline uses for length buckets) — np.stack over ragged
-        samples would crash mid-training otherwise."""
+        samples would crash mid-training otherwise.
+
+        with_meta=True yields (batch, [(name, start), ...]) — the clip
+        identities the teacher cache keys on."""
         for _ in range(steps):
             idxs = self.rng.randint(len(self.videos), size=batch_size)
             samples = [self.sample(int(i), reader) for i in idxs]
             batch = {}
             for k in samples[0]:
-                if k == "name":
+                if k in ("name", "start"):
                     continue
                 arrs = [_pad_frames(s[k], self.num_frames)
                         if s[k].ndim and k != "bbox" else s[k]
                         for s in samples]
                 batch[k] = np.stack(arrs)
-            yield batch
+            if with_meta:
+                yield batch, [(s["name"], s["start"]) for s in samples]
+            else:
+                yield batch
 
     def batches_prefetched(self, batch_size: int, steps: int,
                            n_threads: int = 4, depth: int = 2,
+                           with_meta: bool = False,
                            ) -> Iterator[Dict[str, np.ndarray]]:
         """Overlapped input pipeline (VERDICT r4 #7): a host thread assembles
         batches — chunk files read in parallel by the C++ NpyPrefetcher —
@@ -217,7 +238,8 @@ class HDTFVideoDataset:
 
         def worker():
             try:
-                for b in self.batches(batch_size, steps, reader=reader):
+                for b in self.batches(batch_size, steps, reader=reader,
+                                      with_meta=with_meta):
                     q.put(b)
                 q.put(None)
             except BaseException as e:  # surfaced on the consumer side
@@ -234,6 +256,71 @@ class HDTFVideoDataset:
             if isinstance(item, BaseException):
                 raise item
             yield item
+
+
+class TeacherCache:
+    """Disk cache of frozen-LFG teacher outputs, keyed (video id, clip start).
+
+    The DM train loss consumes raw frames ONLY through the frozen teacher
+    (DMTrainer.loss_fn), so the three teacher tensors are precomputed once
+    per clip and reused every epoch — the TPU-first replacement for the
+    reference's per-step teacher recompute (mouth_mask_6D.py:300-316);
+    PERF_TRAIN.md has the step-time attribution. Use with
+    HDTFVideoDataset(start_stride=...) so clip starts recur across epochs.
+
+    Entries are one .npz per clip (~1.3 MB f32 at 20f/128²: grid/conf at
+    latent res + the (32,32,256) ref feature). ``dtype=np.float16`` halves
+    that at ~5e-4 absolute quantization on [-1,1] tensors.
+    """
+
+    def __init__(self, root: str, dtype=np.float32):
+        os.makedirs(root, exist_ok=True)
+        self.root = root
+        self.dtype = dtype
+        self.hits = 0
+        self.misses = 0
+
+    def _path(self, name: str, start: int) -> str:
+        return os.path.join(self.root, f"{name}__{start:06d}.npz")
+
+    def get(self, name: str, start: int) -> Optional[Dict[str, np.ndarray]]:
+        p = self._path(name, start)
+        if not os.path.exists(p):
+            return None
+        with np.load(p) as z:
+            return {k: z[k].astype(np.float32) for k in z.files}
+
+    def put(self, name: str, start: int, entry: Dict[str, np.ndarray]) -> None:
+        tmp = self._path(name, start) + ".tmp"
+        # write-then-rename: a concurrent reader never sees a torn file
+        with open(tmp, "wb") as f:
+            np.savez(f, **{k: np.asarray(v).astype(self.dtype)
+                           for k, v in entry.items()})
+        os.replace(tmp, self._path(name, start))
+
+    def convert_batch(self, batch: Dict[str, np.ndarray], meta,
+                      compute_fn) -> Dict[str, np.ndarray]:
+        """Raw batch -> cached-teacher batch (video replaced by the teacher
+        keys). ``compute_fn(video_255) -> {key: (B, ...)}`` runs the frozen
+        teacher on device for batches with any cache miss; every miss is
+        then stored, so epoch 2+ is all hits."""
+        entries = [self.get(n, s) for n, s in meta]
+        if any(e is None for e in entries):
+            teacher = {k: np.asarray(v)
+                       for k, v in compute_fn(batch["video"]).items()}
+            for i, (n, s) in enumerate(meta):
+                if entries[i] is None:
+                    self.misses += 1
+                    self.put(n, s, {k: v[i] for k, v in teacher.items()})
+                else:
+                    self.hits += 1
+        else:
+            self.hits += len(entries)
+            teacher = {k: np.stack([e[k] for e in entries])
+                       for k in entries[0]}
+        out = {k: v for k, v in batch.items() if k != "video"}
+        out.update(teacher)
+        return out
 
 
 # PBnet pose normalization constants (datasets_..._eye_fast.py:62-65)

@@ -163,37 +163,77 @@ class DMTrainer:
         if cfg.color_jitter:
             video = color_jitter_video(rng_jit, video)
         ref_img = video[:, 0]
+        cond, mouth_lmk = self.prepare_cond(batch)
+        if cfg.stage == 2:
+            video = video[:, 1:]
+        return video, ref_img, cond, mouth_lmk
 
+    def prepare_cond(self, batch):
+        """Condition rows + mouth landmarks with the stage's frame-0 slice
+        (the non-video half of prepare_inputs; shared by the cached-teacher
+        loss which carries no video)."""
+        cfg = self.config
         # condition: audio ++ delta pose ++ delta blink vs frame 0 (:225-240)
         pose = batch["pose"][..., : cfg.pose_dim]
         blink = batch["blink"]
         cond = jnp.concatenate(
             [batch["hubert"], pose - pose[:, :1], blink - blink[:, :1]], axis=-1)
         mouth_lmk = batch.get("mouth_lmk")
-
         if cfg.stage == 2:
-            video = video[:, 1:]
             cond = cond[:, 1:]
             if mouth_lmk is not None:
                 mouth_lmk = mouth_lmk[:, :-1]
-        return video, ref_img, cond, mouth_lmk
+        return cond, mouth_lmk
+
+    def teacher_precompute(self, frozen, video_255: jax.Array) -> Dict[str, jax.Array]:
+        """Frozen-teacher outputs for the CACHED-teacher training mode.
+
+        The train loss consumes the raw video ONLY through the frozen LFG
+        teacher (real_vid_grid/real_vid_conf/ref_img_fea — see loss_fn), so
+        these three tensors can be precomputed once per clip and reused
+        across epochs (PERF_TRAIN.md quantifies the step-time effect; the
+        reference recomputes the teacher every step, mouth_mask_6D.py:300).
+        Stage-aware: stage 2 splits frame 0 off as the reference before the
+        teacher runs, exactly as prepare_inputs does.
+        """
+        video = video_255.astype(jnp.float32) / 255.0
+        ref_img = video[:, 0]
+        if self.config.stage == 2:
+            video = video[:, 1:]
+        return self.flow_ae.teacher_outputs(frozen["lfg"], ref_img, video)
+
+    TEACHER_KEYS = ("real_vid_grid", "real_vid_conf", "ref_img_fea")
 
     def loss_fn(self, params, frozen, rng, batch) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         """batch: video (B,T,H,W,3) in [0,255], hubert (B,T,1024),
-        pose (B,T,P), blink (B,T,2), bbox (B,6), mouth_lmk (B,T,K,2)."""
+        pose (B,T,P), blink (B,T,2), bbox (B,6), mouth_lmk (B,T,K,2).
+
+        Cached-teacher mode: when the batch carries the TEACHER_KEYS
+        (precomputed by :meth:`teacher_precompute`, cached on the host
+        across epochs) instead of "video", the frozen LFG teacher pass —
+        ~29 % of the step, PERF_TRAIN.md — is skipped. Color jitter is
+        skipped too: the loss consumes the video only through the teacher,
+        so jitter only ever acted through these tensors (documented trade,
+        DEVIATIONS.md)."""
         cfg = self.config
         rng_jit, rng_diff = jax.random.split(rng)
 
-        video, ref_img, cond, mouth_lmk = self.prepare_inputs(rng_jit, batch)
-        b, t = video.shape[0], video.shape[1]
+        if "real_vid_grid" in batch:      # cached-teacher mode (static)
+            teacher = {k: batch[k].astype(jnp.float32)
+                       for k in self.TEACHER_KEYS}
+            cond, mouth_lmk = self.prepare_cond(batch)
+            b, t = teacher["real_vid_grid"].shape[:2]
+        else:
+            video, ref_img, cond, mouth_lmk = self.prepare_inputs(rng_jit, batch)
+            b, t = video.shape[0], video.shape[1]
 
-        # frozen LFG teacher -> GT flow/occlusion + ref feature (no grad).
-        # teacher_outputs dedups the per-video ref work (region params /
-        # source blur / encoder feature once per video, not per frame) —
-        # matches reconstruct_video's tensors to f32 roundoff; PERF_TRAIN.md
-        # has the attribution that motivated it
-        teacher = jax.lax.stop_gradient(
-            self.flow_ae.teacher_outputs(frozen["lfg"], ref_img, video))
+            # frozen LFG teacher -> GT flow/occlusion + ref feature (no grad).
+            # teacher_outputs dedups the per-video ref work (region params /
+            # source blur / encoder feature once per video, not per frame) —
+            # matches reconstruct_video's tensors to f32 roundoff; PERF_TRAIN.md
+            # has the attribution that motivated it
+            teacher = jax.lax.stop_gradient(
+                self.flow_ae.teacher_outputs(frozen["lfg"], ref_img, video))
         ls = cfg.latent_size
         x_start = jnp.concatenate(
             [teacher["real_vid_grid"], teacher["real_vid_conf"] * 2.0 - 1.0],
@@ -366,6 +406,12 @@ class DMTrainer:
             "video": P("data", "seq"), "hubert": P("data", "seq"),
             "pose": P("data", "seq"), "blink": P("data", "seq"),
             "bbox": P("data"), "mouth_lmk": P("data", "seq"),
+            # cached-teacher mode: the precomputed teacher tensors shard
+            # exactly like the video they replace (frames over 'seq');
+            # the per-video ref feature is per-sample only
+            "real_vid_grid": P("data", "seq"),
+            "real_vid_conf": P("data", "seq"),
+            "ref_img_fea": P("data"),
         }
 
         @functools.lru_cache(maxsize=None)

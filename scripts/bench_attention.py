@@ -64,6 +64,12 @@ def main():
     ap.add_argument("--block-q", type=int, default=64)
     ap.add_argument("--g-rows", type=int, default=None,
                     help="rows per pallas grid step (default: auto)")
+    ap.add_argument("--prob-dtype", default=None, choices=["bf16"],
+                    help="also bench the packed kernel with the exp/AV "
+                         "probability tiles in this dtype (max-subtraction "
+                         "and row-sum stay f32) — the PERF_256 live-score-"
+                         "tile experiment (VERDICT r4 #4), with MSE vs the "
+                         "f32-tile kernel recorded")
     ap.add_argument("--stripe", type=int, default=0, metavar="SHARDS",
                     help="also bench local_attention_packed_stripe at the "
                          "per-shard shape of a SHARDS-way seq-parallel mesh "
@@ -134,6 +140,15 @@ def main():
         tpk, opk = timeit(packed, qp, kp, vp)
         vs = f"   speedup vs banded: {tb/tpk:.2f}x" if tb else ""
         print(f"packed : {tpk*1e3:8.2f} ms/op{vs}")
+        if args.prob_dtype == "bf16":
+            packed_b = scanned(lambda q, k, v: local_attention_packed(
+                q, k, v, vec, w, heads=h, prob_dtype=jnp.bfloat16,
+                **({"g_rows": args.g_rows} if args.g_rows else {})))
+            tpb, opb = timeit(packed_b, qp, kp, vp)
+            mse_b = float(jnp.mean((opb.astype(jnp.float32)
+                                    - opk.astype(jnp.float32)) ** 2))
+            print(f"packed bf16-prob-tiles: {tpb*1e3:8.2f} ms/op   "
+                  f"MSE vs f32 tiles: {mse_b:.3e}")
         if op is None:
             # no tiled-pallas output to compare against: use packed,
             # unpacked to the (n, h, t, d) layout
@@ -170,13 +185,24 @@ def main():
         print(f"stripe pallas-vs-einsum MSE: {mse:.3e}")
 
         # fused backward (the training path): grad wrt q through the
-        # custom-vjp entry; the scanned carry is dq (same shape as q)
+        # custom-vjp entry. The scan carry is a SCALAR (dq reduced in-body):
+        # carrying the full (n, t_q, hd) dq made XLA pin a 112 MB carry in
+        # VMEM at the 256² shape and VMEM-OOM the compile — a harness
+        # artifact, not a kernel one (the kernel's own working set is ~4 MB)
         loss = lambda q, k, v: jnp.sum(  # noqa: E731
             local_attention_packed_stripe_tpu(q, k, v, bias, h)
             .astype(jnp.float32) ** 2)
         gfn = jax.grad(loss)
-        stripe_b = scanned(lambda q, k, v: gfn(q, k, v).astype(q.dtype))
-        tsb, _ = timeit(stripe_b, qs, ks, vs2)
+
+        def bwd_scanned(q, k, v):
+            def body(c, _):
+                dq = gfn(q + c.astype(q.dtype), k, v)
+                return jnp.mean(dq).astype(jnp.float32) * 1e-9, None
+            c, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+                                length=SCAN_ITERS)
+            return c[None]
+
+        tsb, _ = timeit(jax.jit(bwd_scanned), qs, ks, vs2)
         print(f"stripe fused fwd+bwd (grad q):        {tsb*1e3:8.2f} ms/op")
 
     if not args.skip_full and t <= 512:

@@ -43,6 +43,25 @@ def main():
                     help="also write TensorBoard event files to "
                          "<workdir>/tb (the reference's SummaryWriter "
                          "channel, train...6D.py:174,319-321)")
+    ap.add_argument("--teacher-cache", default=None, metavar="DIR",
+                    help="cache frozen-LFG teacher outputs per (video, "
+                         "start) clip and reuse them across epochs — skips "
+                         "the teacher pass (~29%% of the step, "
+                         "PERF_TRAIN.md) after the first epoch. Quantizes "
+                         "clip starts to --teacher-cache-stride and "
+                         "disables color jitter (which only acts through "
+                         "the teacher); ~1.3 MB disk per cached clip")
+    ap.add_argument("--teacher-cache-stride", type=int, default=None,
+                    help="clip-start grid for the cache key space "
+                         "(default: num_frames // 2 — half-overlapping "
+                         "clips)")
+    ap.add_argument("--teacher-cache-f16", action="store_true",
+                    help="store cache entries as float16 (halves disk; "
+                         "~5e-4 quantization on [-1,1] teacher tensors)")
+    ap.add_argument("--prefetch", action="store_true",
+                    help="overlap batch assembly (C++ NpyPrefetcher chunk "
+                         "reads) with the device step via a depth-2 host "
+                         "queue (the reference CudaDataLoader's design)")
     args = ap.parse_args()
 
     import yaml
@@ -97,9 +116,13 @@ def main():
         num_frames = s2_max + 1           # dataset clips carry frame 0 too
     else:
         num_frames = cfg_yaml.get("num_frames", 20)
+    stride = None
+    if args.teacher_cache:
+        stride = args.teacher_cache_stride or max(1, num_frames // 2)
     dataset = HDTFVideoDataset(args.frames_dir, args.hubert_dir, args.pose_dir,
                                args.eye_dir, args.length_dict,
-                               lmk_dir=args.lmk_dir, num_frames=num_frames)
+                               lmk_dir=args.lmk_dir, num_frames=num_frames,
+                               start_stride=stride)
     print(f"dataset: {len(dataset)} videos, {num_frames} frames/clip"
           + (f", stage-2 buckets {s2_buckets}" if args.stage == 2 else ""))
 
@@ -134,16 +157,44 @@ def main():
 
     rng_len = np.random.RandomState(cfg_yaml.get("random_seed", 1234))
     _TIME_KEYS = ("video", "hubert", "pose", "blink", "mouth_lmk")
+    # cached teacher tensors are already frame-0-split (stage 2): the grid /
+    # conf rows correspond to diffused frames, so a stage-2 L-bucket slices
+    # them to :L while the raw modality rows slice to :L+1
+    _TEACHER_TIME_KEYS = ("real_vid_grid", "real_vid_conf")
+
+    cache = None
+    if args.teacher_cache:
+        from dawn_tpu.train.data import TeacherCache
+        cache = TeacherCache(args.teacher_cache,
+                             dtype=np.float16 if args.teacher_cache_f16
+                             else np.float32)
+        teacher_fn = jax.jit(trainer.teacher_precompute)
+        print(f"teacher cache: {args.teacher_cache} (start stride {stride}, "
+              f"{'f16' if args.teacher_cache_f16 else 'f32'} entries; "
+              f"color jitter inactive — it only acts through the teacher)")
 
     t0 = time.time()
+    batch_iter = (dataset.batches_prefetched(bs, total - start,
+                                             with_meta=cache is not None)
+                  if args.prefetch else
+                  dataset.batches(bs, total - start,
+                                  with_meta=cache is not None))
     with mesh:
-        for step, batch in enumerate(dataset.batches(bs, total - start), start):
+        for step, item in enumerate(batch_iter, start):
+            if cache is not None:
+                raw, meta = item
+                batch = cache.convert_batch(
+                    raw, meta,
+                    lambda v: teacher_fn(state["frozen"], jnp.asarray(v)))
+            else:
+                batch = item
             if args.stage == 2:
                 # diffused length ~ U[min, max], snapped to a bucket; +1 for
                 # the split-off init frame
                 want = rng_len.randint(s2_min, s2_max + 1)
                 L = min(s2_buckets, key=lambda q: abs(q - want))
-                batch = {k: (v[:, : L + 1] if k in _TIME_KEYS else v)
+                batch = {k: (v[:, : L + 1] if k in _TIME_KEYS else
+                             v[:, :L] if k in _TEACHER_TIME_KEYS else v)
                          for k, v in batch.items()}
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             load_t = time.time() - t0
@@ -156,6 +207,9 @@ def main():
                     m.update(metrics[k])
                 metrics["step"] = step
                 metrics["wall"] = time.time() - t0
+                if cache is not None and (cache.hits or cache.misses):
+                    metrics["teacher_cache_hit_rate"] = round(
+                        cache.hits / (cache.hits + cache.misses), 4)
                 metrics_log.write(json.dumps(metrics) + "\n")
                 metrics_log.flush()
                 if tb is not None:
@@ -168,8 +222,15 @@ def main():
                 from dawn_tpu.utils.misc import save_snapshot_grid
                 snap_dir = os.path.join(args.workdir, "imgshots")
                 os.makedirs(snap_dir, exist_ok=True)
+                if cache is not None:
+                    # snapshots decode real/fake flow from raw frames; the
+                    # cached batch carries none, but the raw pre-conversion
+                    # batch does (sliced to the monitor's few frames)
+                    snap_batch = {k: jnp.asarray(v) for k, v in raw.items()}
+                else:
+                    snap_batch = batch
                 snaps = trainer.snapshot(state, jax.random.PRNGKey(step + 1),
-                                         batch)
+                                         snap_batch)
                 save_snapshot_grid(
                     os.path.join(snap_dir, f"step_{step:07d}.png"), snaps)
             t0 = time.time()

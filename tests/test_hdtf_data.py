@@ -93,6 +93,82 @@ class TestHDTFVideoDataset:
         assert np.array_equal(padded[15], padded[14])  # edge repeat
 
 
+class TestTeacherCache:
+    """Disk cache of frozen-teacher outputs (PERF_TRAIN.md): miss -> compute
+    + store, hit -> byte-stable reload, start_stride makes the key space
+    finite so hits actually recur across epochs."""
+
+    @staticmethod
+    def _fake_compute(calls):
+        def compute(video):
+            calls.append(video.shape)
+            b, t = video.shape[:2]
+            base = np.asarray(video, np.float32).mean(axis=(2, 3, 4))
+            return {
+                "real_vid_grid": np.tile(base[..., None, None, None],
+                                         (1, 1, 4, 4, 2)),
+                "real_vid_conf": np.tile(base[..., None, None, None],
+                                         (1, 1, 4, 4, 1)),
+                "ref_img_fea": np.tile(base[:, :1, None], (1, 4, 8)),
+            }
+        return compute
+
+    def test_convert_batch_miss_then_hit(self, tmp_path):
+        from dawn_tpu.train.data import TeacherCache
+        cache = TeacherCache(str(tmp_path / "tc"))
+        r = np.random.RandomState(0)
+        batch = {"video": r.rand(2, 3, 8, 8, 3).astype(np.float32) * 255,
+                 "hubert": r.randn(2, 3, 16).astype(np.float32)}
+        meta = [("vid_a", 0), ("vid_b", 25)]
+        calls = []
+        out1 = cache.convert_batch(batch, meta, self._fake_compute(calls))
+        assert len(calls) == 1                       # computed once
+        assert "video" not in out1
+        assert out1["real_vid_grid"].shape == (2, 3, 4, 4, 2)
+        assert np.array_equal(out1["hubert"], batch["hubert"])
+        assert cache.misses == 2 and cache.hits == 0
+
+        out2 = cache.convert_batch(batch, meta, self._fake_compute(calls))
+        assert len(calls) == 1                       # pure cache hit
+        assert cache.hits == 2
+        for k in ("real_vid_grid", "real_vid_conf", "ref_img_fea"):
+            np.testing.assert_allclose(out2[k], out1[k], err_msg=k)
+
+    def test_f16_entries_quantize_not_corrupt(self, tmp_path):
+        from dawn_tpu.train.data import TeacherCache
+        cache = TeacherCache(str(tmp_path / "tc"), dtype=np.float16)
+        entry = {"real_vid_grid": np.random.RandomState(1)
+                 .uniform(-1, 1, (3, 4, 4, 2)).astype(np.float32)}
+        cache.put("v", 0, entry)
+        got = cache.get("v", 0)
+        assert got["real_vid_grid"].dtype == np.float32   # upcast on read
+        np.testing.assert_allclose(got["real_vid_grid"],
+                                   entry["real_vid_grid"], atol=6e-4)
+
+    def test_start_stride_quantizes_clip_starts(self, hdtf_root):
+        dirs, ld = hdtf_root
+        ds = HDTFVideoDataset(dirs["frames"], dirs["hubert"], dirs["pose"],
+                              dirs["eye"], ld, num_frames=10, seed=0,
+                              start_stride=5)
+        i = ds.videos.index("vid_a")                # 25 frames, nf=10
+        starts = {ds.sample(i)["start"] for _ in range(40)}
+        assert starts <= {0, 5, 10, 15}             # (25-10)//5+1 = 4 slots
+        assert len(starts) > 1                      # still randomized
+
+    def test_batches_with_meta(self, hdtf_root):
+        dirs, ld = hdtf_root
+        ds = HDTFVideoDataset(dirs["frames"], dirs["hubert"], dirs["pose"],
+                              dirs["eye"], ld, num_frames=10, seed=0,
+                              start_stride=5)
+        batch, meta = next(iter(ds.batches(batch_size=3, steps=1,
+                                           with_meta=True)))
+        assert "start" not in batch and "name" not in batch
+        assert len(meta) == 3
+        for name, start in meta:
+            assert name in ("vid_a", "vid_b")
+            assert start % 5 == 0
+
+
 class TestPBnetPoseDataset:
     def test_batches_and_normalization(self, tmp_path):
         lengths = {"vid_a": 120, "vid_b": 40}     # vid_b < num_frames

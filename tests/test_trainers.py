@@ -219,6 +219,106 @@ class TestDMTrainer:
                                        np.asarray(full[k]),
                                        atol=1e-5, rtol=1e-5, err_msg=k)
 
+    def test_cached_teacher_step_matches(self, dm_setup):
+        """Cached-teacher mode (batch carries teacher_precompute outputs
+        instead of video) must produce the same loss, metrics, and parameter
+        update as the standard step — the teacher tensors are the ONLY path
+        the video takes into the loss (PERF_TRAIN.md). Jitter is off in the
+        fixture, so the two steps compute the same math."""
+        trainer, state, batch = dm_setup
+        rng = jax.random.PRNGKey(7)
+        ref_state, ref_metrics = trainer.train_step(state, rng, batch)
+
+        teacher = trainer.teacher_precompute(state["frozen"], batch["video"])
+        cached_batch = {k: v for k, v in batch.items() if k != "video"}
+        cached_batch.update(teacher)
+        new_state, metrics = trainer.train_step(state, rng, cached_batch)
+
+        for k in ("total", "loss", "floss", "mouth_loss"):
+            np.testing.assert_allclose(float(metrics[k]),
+                                       float(ref_metrics[k]),
+                                       atol=1e-5, rtol=1e-5, err_msg=k)
+        np.testing.assert_allclose(np.asarray(new_state["params"]),
+                                   np.asarray(ref_state["params"]),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_cached_teacher_stage2_matches(self):
+        """Stage 2 cached mode: teacher_precompute does the frame-0 split
+        itself, so its grid/conf rows align with the diffused frames while
+        the raw condition rows still carry frame 0 for the delta baseline."""
+        from dawn_tpu.train.train_dm import DMTrainer, DMTrainConfig
+
+        cfg = DMTrainConfig(img_size=32, fea_channels=32, color_jitter=False,
+                            ema_decay=None, stage=2)
+        trainer = DMTrainer(cfg, flow_ae=_tiny_flow_ae())
+        from dawn_tpu.models.dm.unet3d import Unet3D
+        trainer.unet = Unet3D(dim=16, dim_mults=(1, 2),
+                              channels=trainer.in_channels, cond_pose=6,
+                              win_width=2)
+        b, t, s = 1, 5, cfg.img_size
+        r = np.random.RandomState(3)
+        batch = {
+            "video": jnp.asarray(r.rand(b, t, s, s, 3) * 255, jnp.float32),
+            "hubert": jnp.asarray(r.randn(b, t, 1024), jnp.float32),
+            "pose": jnp.asarray(r.randn(b, t, 6), jnp.float32),
+            "blink": jnp.asarray(r.rand(b, t, 2), jnp.float32),
+            "bbox": jnp.asarray(
+                np.tile([s * .25, s * .75, s * .25, s * .75, s, s], (b, 1)),
+                jnp.float32),
+            "mouth_lmk": jnp.asarray(r.rand(b, t, 19, 2) * s, jnp.float32),
+        }
+        state = trainer.init_state(jax.random.PRNGKey(0), num_frames=t)
+        rng = jax.random.PRNGKey(9)
+        _, ref_metrics = trainer.train_step(state, rng, batch)
+
+        teacher = trainer.teacher_precompute(state["frozen"], batch["video"])
+        assert teacher["real_vid_grid"].shape[1] == t - 1   # frame-0 split
+        cached_batch = {k: v for k, v in batch.items() if k != "video"}
+        cached_batch.update(teacher)
+        _, metrics = trainer.train_step(state, rng, cached_batch)
+        for k in ("total", "loss", "floss", "mouth_loss"):
+            np.testing.assert_allclose(float(metrics[k]),
+                                       float(ref_metrics[k]),
+                                       atol=1e-5, rtol=1e-5, err_msg=k)
+
+    def test_sharded_cached_teacher_step_8dev(self):
+        """The cached-teacher batch (grid/conf sharded over 'seq' like the
+        video they replace, per-video fea over 'data' only) must run under
+        the same per-key-set sharded step as the raw batch."""
+        from dawn_tpu.train.train_dm import DMTrainer, DMTrainConfig
+        from dawn_tpu.models.dm.unet3d import Unet3D
+        from dawn_tpu.parallel.mesh import make_mesh
+
+        cfg = DMTrainConfig(img_size=32, fea_channels=32, color_jitter=False,
+                            ema_decay=None)
+        trainer = DMTrainer(cfg, flow_ae=_tiny_flow_ae())
+        trainer.unet = Unet3D(dim=8, dim_mults=(1, 2),
+                              channels=trainer.in_channels, cond_pose=6,
+                              win_width=2, attn_heads=2, attn_dim_head=8)
+        b, t, s = 4, 4, cfg.img_size
+        r = np.random.RandomState(0)
+        batch = {
+            "video": jnp.asarray(r.rand(b, t, s, s, 3) * 255, jnp.float32),
+            "hubert": jnp.asarray(r.randn(b, t, 1024), jnp.float32),
+            "pose": jnp.asarray(r.randn(b, t, 6), jnp.float32),
+            "blink": jnp.asarray(r.rand(b, t, 2), jnp.float32),
+            "bbox": jnp.asarray(
+                np.tile([s * .25, s * .75, s * .25, s * .75, s, s], (b, 1)),
+                jnp.float32),
+        }
+        mesh = make_mesh(8, seq_parallel=2)
+        with mesh:
+            state = trainer.init_state(jax.random.PRNGKey(0), num_frames=t)
+            teacher = trainer.teacher_precompute(state["frozen"],
+                                                 batch["video"])
+            cached = {k: v for k, v in batch.items() if k != "video"}
+            cached.update(teacher)
+            step = trainer.make_sharded_step(mesh)
+            _, metrics = step(state, jax.random.PRNGKey(1), cached)
+            metrics = jax.device_get(metrics)
+        assert np.isfinite(metrics["total"])
+        assert float(metrics["grads_finite"]) == 1.0
+
     def test_sharded_train_step_no_full_t_allgather(self):
         """The multi-chip TRAINING memory guarantee (VERDICT r4 #2), pinned
         on the compiled program — mirror of
