@@ -78,6 +78,13 @@ class DMTrainConfig:
     use_fft_floss: bool = False    # stage-1 uses MSE floss; the _test wrapper
                                    # uses the temporal-FFT hf_loss_2 variant
     color_jitter: bool = True
+    remat: str = "none"       # 'none' | 'dots' | 'full': jax.checkpoint
+                              # around the UNet apply inside the loss.
+                              # 'dots' saves only contraction outputs
+                              # (recomputes elementwise/norm chains in the
+                              # backward — trades FLOPs for HBM activation
+                              # traffic); 'full' recomputes the whole
+                              # forward. Measured A/B in PERF_TRAIN.md.
     compute_dtype: Any = jnp.float32
     ema_decay: Optional[float] = 0.9999  # None disables; the reference ships
                                          # an EMA class but never wires it
@@ -253,8 +260,15 @@ class DMTrainer:
         if unet is None:
             unet = self.unet
 
-        def denoise(x, tvec, c, drop):
-            return unet.apply({"params": self._unravel(params)}, x, tvec, c, drop)
+        def denoise_p(p, x, tvec, c, drop):
+            return unet.apply({"params": self._unravel(p)}, x, tvec, c, drop)
+
+        if cfg.remat == "dots":
+            denoise_p = jax.checkpoint(
+                denoise_p, policy=jax.checkpoint_policies.dots_saveable)
+        elif cfg.remat == "full":
+            denoise_p = jax.checkpoint(denoise_p)
+        denoise = functools.partial(denoise_p, params)
 
         rng_t, rng_p = jax.random.split(rng_diff)
         tvec = jax.random.randint(rng_t, (b,), 0, self.diffusion.timesteps)

@@ -47,6 +47,10 @@ def main():
                          "reported step time is the bucket mean)")
     ap.add_argument("--json-out", default=None,
                     help="also write the one-line JSON artifact here")
+    ap.add_argument("--remat", default="none", choices=["none", "dots", "full"],
+                    help="jax.checkpoint policy around the UNet apply in the "
+                         "loss — trades recompute FLOPs for backward-pass "
+                         "HBM activation traffic (PERF_TRAIN.md A/B)")
     ap.add_argument("--cached-teacher", action="store_true",
                     help="bench the cached-teacher step (teacher outputs "
                          "precomputed per clip and reused across epochs — "
@@ -76,7 +80,7 @@ def main():
     stage = 2 if args.stage2 else 1
     frame_buckets = [30, 35, 40] if args.stage2 else [args.frames]
     cfg = DMTrainConfig(
-        img_size=s, stage=stage,
+        img_size=s, stage=stage, remat=args.remat,
         compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32)
     trainer = DMTrainer(cfg)
     print(f"backend={jax.default_backend()} stage={stage} bs={b} "
@@ -215,6 +219,9 @@ def main():
                 lmk_dir=os.path.join(root, "lmk"), num_frames=t)
 
             def to_device(raw):
+                # uint8 video crosses the host->HBM link at 1/4 the f32
+                # bytes (the cast runs on device); runs on the PREFETCH
+                # WORKER so the transfer overlaps the current step
                 raw["pose"] = raw["pose"][..., :6]        # make_batch layout
                 return {k: jnp.asarray(v) for k, v in raw.items()}
 
@@ -225,17 +232,27 @@ def main():
             # warmup (first step after compile)
             state_c, m = compiled_ip(state_c, jax.random.PRNGKey(1), batch0)
             float(m["total"])
+            # same-program resident reference (uint8-video program, batch
+            # already on device)
+            resident = float("inf")
+            for i in range(args.repeats):
+                t0 = time.perf_counter()
+                state_c, m = compiled_ip(state_c, jax.random.PRNGKey(2 + i),
+                                         batch0)
+                float(m["total"])
+                resident = min(resident, time.perf_counter() - t0)
 
             n_steps = 30
             t0 = time.perf_counter()
-            for i, raw in enumerate(ds.batches_prefetched(b, n_steps)):
-                batch_i = to_device(raw)
+            for i, dev_batch in enumerate(
+                    ds.batches_prefetched(b, n_steps, transform=to_device)):
                 state_c, m = compiled_ip(state_c,
-                                         jax.random.PRNGKey(10 + i), batch_i)
+                                         jax.random.PRNGKey(10 + i),
+                                         dev_batch)
                 float(m["total"])
             overlapped = (time.perf_counter() - t0) / n_steps
 
-            # non-overlapped reference: same reads, synchronous
+            # non-overlapped reference: same reads + transfer, synchronous
             t0 = time.perf_counter()
             for i, raw in enumerate(ds.batches(b, n_steps)):
                 batch_i = to_device(raw)
@@ -245,15 +262,15 @@ def main():
             sync = (time.perf_counter() - t0) / n_steps
         finally:
             shutil.rmtree(root, ignore_errors=True)
-        busy = mean_step / overlapped
+        busy = resident / overlapped
         pipeline_stats = {
             "overlapped_step_ms": round(overlapped * 1e3, 1),
             "sync_step_ms": round(sync * 1e3, 1),
-            "resident_step_ms": round(mean_step * 1e3, 1),
+            "resident_step_ms": round(resident * 1e3, 1),
             "device_busy_frac": round(busy, 3),
         }
         print(f"input pipeline: overlapped {overlapped*1e3:.1f} ms/step vs "
-              f"sync {sync*1e3:.1f} vs resident {mean_step*1e3:.1f} -> "
+              f"sync {sync*1e3:.1f} vs resident {resident*1e3:.1f} -> "
               f"device busy {100*busy:.0f}% of the overlapped wall")
     tflops = (flops_total / len(per_bucket)) / mean_step / 1e12
     gbps = (bytes_total / len(per_bucket)) / mean_step / 1e9

@@ -424,3 +424,27 @@ class TestStripeKernel:
         assert dvec.shape == vec.shape
         assert np.isfinite(np.asarray(dvec)).all()
         assert np.abs(np.asarray(dvec)).max() > 0
+
+    def test_bwd_vmem_budget_covers_rectangular_blocks(self):
+        """Regression for the round-5 Mosaic stack-OOM: the scoped-VMEM
+        budget handed to the fused backward must at least cover the
+        double-buffered in/out blocks + resident bias pair + per-head score
+        live set. The old square-shape heuristic granted 12.4 MB where the
+        256²-scale stripe (gg=8, tq=56, tk=256, hd=256, h=8, bf16) needed
+        14.9 MB (measured on v5e)."""
+        from dawn_tpu.ops.local_attention import _bwd_vmem_limit
+
+        cases = [
+            # (gg, tq, tk, hd, heads, itemsize, measured/least need)
+            (8, 56, 256, 256, 8, 2, 15 << 20),   # the OOM shape
+            (8, 200, 256, 256, 8, 2, None),      # square-ish packed shape
+            (4, 8, 128, 64, 4, 4, None),         # tiny f32
+        ]
+        for gg, tq, tk, hd, h, isz, need in cases:
+            lim = _bwd_vmem_limit(gg, tq, tk, hd, h, isz)
+            floor = (2 * gg * (2 * tq + 4 * tk) * hd * isz
+                     + 2 * h * tq * tk * 4)
+            assert lim >= floor, (gg, tq, tk, lim, floor)
+            assert lim <= 120 << 20
+            if need is not None:
+                assert lim >= need, (lim, need)

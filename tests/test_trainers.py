@@ -242,6 +242,30 @@ class TestDMTrainer:
                                    np.asarray(ref_state["params"]),
                                    atol=1e-5, rtol=1e-5)
 
+    def test_remat_policies_preserve_grads(self, dm_setup):
+        """jax.checkpoint around the UNet apply (cfg.remat, the HBM-traffic
+        A/B in PERF_TRAIN.md) must not change the loss or the gradient —
+        only the backward's recompute schedule."""
+        import dataclasses
+        trainer, state, batch = dm_setup
+        rng = jax.random.PRNGKey(11)
+
+        def grad_at(mode):
+            old = trainer.config
+            trainer.config = dataclasses.replace(old, remat=mode)
+            try:
+                (loss, _), g = jax.value_and_grad(
+                    trainer.loss_fn, has_aux=True)(
+                        state["params"], state["frozen"], rng, batch)
+                return float(loss), np.asarray(g)
+            finally:
+                trainer.config = old
+
+        l0, g0 = grad_at("none")
+        l1, g1 = grad_at("dots")
+        np.testing.assert_allclose(l1, l0, rtol=1e-6)
+        np.testing.assert_allclose(g1, g0, atol=1e-5, rtol=1e-4)
+
     def test_cached_teacher_stage2_matches(self):
         """Stage 2 cached mode: teacher_precompute does the frame-0 split
         itself, so its grid/conf rows align with the diffused frames while
