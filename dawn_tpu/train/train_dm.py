@@ -100,13 +100,16 @@ class DMTrainer:
     """Owns model defs + optimizer; produces the jitted sharded train step."""
 
     def __init__(self, config: DMTrainConfig = DMTrainConfig(),
-                 flow_ae: Optional[FlowAE] = None):
+                 flow_ae: Optional[FlowAE] = None,
+                 unet_kw: Optional[Dict[str, Any]] = None):
         self.config = config
         self.in_channels = 3 + config.fea_channels + 16
-        self.unet = Unet3D(dim=64, channels=self.in_channels,
-                           cond_pose=config.pose_dim,
-                           win_width=config.win_width,
-                           dtype=config.compute_dtype)
+        kw: Dict[str, Any] = dict(dim=64, channels=self.in_channels,
+                                  cond_pose=config.pose_dim,
+                                  win_width=config.win_width,
+                                  dtype=config.compute_dtype)
+        kw.update(unet_kw or {})   # yaml `unet:` overrides (tiny topologies
+        self.unet = Unet3D(**kw)   # for tests / ablations; deployed = dim 64)
         self.diffusion = GaussianDiffusion(
             timesteps=1000, sampling_timesteps=20,
             loss_type="l2", use_dynamic_thres=True,

@@ -99,8 +99,23 @@ def main():
         grad_clip=cfg_yaml["grad_clip"],
         floss_weight=cfg_yaml["floss_weight"],
         mouth_weight=cfg_yaml["mouth_weight"],
-        null_cond_prob=cfg_yaml["null_cond_prob"])
-    trainer = DMTrainer(cfg)
+        null_cond_prob=cfg_yaml["null_cond_prob"],
+        fea_channels=cfg_yaml.get("fea_channels", 256),
+        remat=cfg_yaml.get("remat", "none"))
+    # optional topology overrides (tiny test configs / ablations): yaml
+    # `unet: {dim, dim_mults, attn_heads, ...}` and `lfg: {generator: {...},
+    # region: {...}, bg: {...}, flow: {...}}`
+    unet_kw = dict(cfg_yaml.get("unet") or {})
+    if "dim_mults" in unet_kw:
+        unet_kw["dim_mults"] = tuple(unet_kw["dim_mults"])
+    flow_ae = None
+    if cfg_yaml.get("lfg"):
+        from dawn_tpu.models.lfg.flow_ae import FlowAE
+        lf = cfg_yaml["lfg"]
+        flow_ae = FlowAE(generator_kw=lf.get("generator"),
+                         region_kw=lf.get("region"),
+                         bg_kw=lf.get("bg"), flow_kw=lf.get("flow"))
+    trainer = DMTrainer(cfg, flow_ae=flow_ae, unet_kw=unet_kw or None)
 
     # stage 2: per-step random clip length 30-40 diffused frames
     # (train..._s2.py:281-292 samples randint(30, 40) + 1 total frames) —
