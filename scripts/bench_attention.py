@@ -78,6 +78,12 @@ def main():
                          "executed standalone on the one real chip "
                          "(VERDICT r4 #3) — fwd, fused bwd, and the einsum "
                          "stripe reference, with MSE")
+    ap.add_argument("--seq-composed", action="store_true",
+                    help="execute the COMPOSED seq-parallel program "
+                         "(shard_map + ppermute halos + Pallas stripe fwd "
+                         "AND fused bwd) on a forced one-shard mesh — the "
+                         "single-real-chip verification of the multi-chip "
+                         "path, with MSE vs the whole-T packed kernel")
     ap.add_argument("--skip-full", action="store_true")
     ap.add_argument("--skip-banded", action="store_true")
     ap.add_argument("--skip-pallas", action="store_true",
@@ -204,6 +210,54 @@ def main():
 
         tsb, _ = timeit(jax.jit(bwd_scanned), qs, ks, vs2)
         print(f"stripe fused fwd+bwd (grad q):        {tsb*1e3:8.2f} ms/op")
+
+    if args.seq_composed:
+        # the COMPOSED seq-parallel program on THIS backend's real devices:
+        # shard_map + ppermute halo exchange + the Pallas stripe kernel
+        # (fwd and fused bwd), forced onto a ONE-shard axis (zero-filled
+        # halos = the global-edge shard) so a single chip executes the
+        # exact multi-chip composition (seq_sharded_local_attention
+        # force_stripe; unit-parity in tests/test_local_attention.py::
+        # TestSeqShardedComposition)
+        from dawn_tpu.ops.local_attention import (
+            local_attention_packed, seq_sharded_local_attention)
+        from dawn_tpu.parallel.mesh import make_mesh
+
+        mesh1 = make_mesh(1, seq_parallel=1)
+
+        def pack(x):
+            return x.transpose(0, 2, 1, 3).reshape(n, t, h * d)
+
+        qp, kp, vp = pack(q), pack(k), pack(v)
+        composed = scanned(lambda q, k, v: seq_sharded_local_attention(
+            q, k, v, vec, w, h, mesh1, force_stripe=True))
+        tc, oc = timeit(composed, qp, kp, vp)
+        packed_ref = scanned(lambda q, k, v: local_attention_packed(
+            q, k, v, vec, w, heads=h))
+        tpk2, opk2 = timeit(packed_ref, qp, kp, vp)
+        mse = float(jnp.mean((oc.astype(jnp.float32)
+                              - opk2.astype(jnp.float32)) ** 2))
+        print(f"seq-composed fwd (shard_map+halo+stripe, 1 shard): "
+              f"{tc*1e3:8.2f} ms/op")
+        print(f"packed whole-T reference:             {tpk2*1e3:8.2f} ms/op")
+        print(f"composed-vs-packed MSE: {mse:.3e}")
+
+        loss_c = lambda q, k, v: jnp.sum(  # noqa: E731
+            seq_sharded_local_attention(q, k, v, vec, w, h, mesh1,
+                                        force_stripe=True)
+            .astype(jnp.float32) ** 2)
+        gfn_c = jax.grad(loss_c)
+
+        def bwd_c(q, k, v):
+            def body(c, _):
+                dq = gfn_c(q + c.astype(q.dtype), k, v)
+                return jnp.mean(dq).astype(jnp.float32) * 1e-9, None
+            c, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+                                length=SCAN_ITERS)
+            return c[None]
+
+        tcb, _ = timeit(jax.jit(bwd_c), qp, kp, vp)
+        print(f"seq-composed fused fwd+bwd (grad q):  {tcb*1e3:8.2f} ms/op")
 
     if not args.skip_full and t <= 512:
         bias_full = (t5_bias_matrix(emb, t, 32, 32)

@@ -448,3 +448,94 @@ class TestStripeKernel:
             assert lim <= 120 << 20
             if need is not None:
                 assert lim >= need, (lim, need)
+
+
+class TestSeqShardedComposition:
+    """Direct unit tests of :func:`seq_sharded_local_attention` — the
+    shard_map + ppermute-halo composition itself (previously exercised only
+    through the sampler/train-step suites). Ground truth is the function's
+    own one-shard short-circuit (the einsum full-bias path, itself pinned to
+    windowed-full attention by the suites above).
+
+    ``force_stripe=True`` on a ONE-shard axis additionally runs the real
+    composed program — empty ppermute = zero-filled halos, BOTH global-edge
+    masks active — which is the exact composition a single real TPU chip
+    executes to validate the multi-chip path (the CPU mesh here drives the
+    einsum stripe; the Pallas stripe kernel itself is interpret-parity-tested
+    in TestStripeKernel and timed on the real chip by bench_attention.py).
+    """
+
+    @staticmethod
+    def _packed_inputs(n, heads, dh, t, seed=0):
+        rng = np.random.RandomState(211 + seed)
+        hd = heads * dh
+        q = jnp.asarray(rng.randn(n, t, hd).astype(np.float32)) * dh ** -0.5
+        k = jnp.asarray(rng.randn(n, t, hd).astype(np.float32))
+        v = jnp.asarray(rng.randn(n, t, hd).astype(np.float32))
+        emb = jnp.asarray(rng.randn(32, heads).astype(np.float32))
+        return q, k, v, emb
+
+    @staticmethod
+    def _call(q, k, v, vec, w, heads, seq, **kw):
+        from dawn_tpu.ops.local_attention import seq_sharded_local_attention
+        from dawn_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(seq, seq_parallel=seq)
+        return seq_sharded_local_attention(q, k, v, vec, w, heads, mesh, **kw)
+
+    def test_sharded_matches_unsharded(self):
+        from dawn_tpu.ops.t5bias import t5_bias_windowed_vector
+        n, heads, dh, t, w = 3, 4, 8, 48, 10
+        q, k, v, emb = self._packed_inputs(n, heads, dh, t)
+        vec = t5_bias_windowed_vector(emb, w, 32, 32)
+        ref = self._call(q, k, v, vec, w, heads, 1)
+        for seq in (2, 4):
+            got = self._call(q, k, v, vec, w, heads, seq)
+            err = float(jnp.max(jnp.abs(ref - got)))
+            assert err < 1e-5, (seq, err)
+
+    def test_sharded_no_bias_odd_counts(self):
+        # t_loc odd (not a multiple of the packed tq granule) and no T5 vec
+        n, heads, dh, t, w = 2, 2, 16, 44, 11
+        q, k, v, _ = self._packed_inputs(n, heads, dh, t, seed=1)
+        ref = self._call(q, k, v, None, w, heads, 1)
+        got = self._call(q, k, v, None, w, heads, 4)   # t_loc = 11 = window
+        err = float(jnp.max(jnp.abs(ref - got)))
+        assert err < 1e-5, err
+
+    def test_forced_single_shard_stripe_matches_reference(self):
+        # the single-real-chip execution path: one shard, zero-filled halos,
+        # both edge masks — must equal the unsharded short-circuit exactly
+        from dawn_tpu.ops.t5bias import t5_bias_windowed_vector
+        n, heads, dh, t, w = 3, 4, 8, 50, 12
+        q, k, v, emb = self._packed_inputs(n, heads, dh, t, seed=2)
+        vec = t5_bias_windowed_vector(emb, w, 32, 32)
+        ref = self._call(q, k, v, vec, w, heads, 1)
+        got = self._call(q, k, v, vec, w, heads, 1,
+                         force_stripe=True, use_pallas=False)
+        err = float(jnp.max(jnp.abs(ref - got)))
+        assert err < 1e-5, err
+
+    def test_gradients_match_unsharded(self):
+        # the TRAIN-step property: d/d{q,k,v,bias_vec} of the composed
+        # sharded program == the unsharded reference's (halo exchange
+        # transposes to the reverse ppermute; bias grads cross the stripe)
+        from dawn_tpu.ops.t5bias import t5_bias_windowed_vector
+        n, heads, dh, t, w = 2, 2, 8, 32, 8
+        q, k, v, emb = self._packed_inputs(n, heads, dh, t, seed=3)
+        rng = np.random.RandomState(5)
+        g = jnp.asarray(rng.randn(n, t, heads * dh).astype(np.float32))
+
+        def loss(params, seq, **kw):
+            vec = t5_bias_windowed_vector(params["emb"], w, 32, 32)
+            out = self._call(params["q"], params["k"], params["v"],
+                             vec, w, heads, seq, **kw)
+            return jnp.sum(out * g)
+
+        params = {"q": q, "k": k, "v": v, "emb": emb}
+        ref = jax.grad(loss)(params, 1)
+        for seq, kw in ((2, {}), (4, {}),
+                        (1, dict(force_stripe=True, use_pallas=False))):
+            got = jax.grad(loss)(params, seq, **kw)
+            for key in params:
+                err = float(jnp.max(jnp.abs(ref[key] - got[key])))
+                assert err < 1e-4, (seq, key, err)
