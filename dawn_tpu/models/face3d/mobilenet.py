@@ -45,15 +45,19 @@ class DepthWiseBlock(nn.Module):
 
 class MobileNetV1(nn.Module):
     num_classes: int = 62
+    # mb05_120x120.yml:2 sets 0.5; channel widths scale by plain int()
+    # truncation exactly as mobilenet_v1.py:67-84 does
+    widen_factor: float = 1.0
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(32, (3, 3), strides=2, padding=1, use_bias=False,
-                    name="conv1")(x)
+        wf = self.widen_factor
+        x = nn.Conv(int(32 * wf), (3, 3), strides=2, padding=1,
+                    use_bias=False, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=True, epsilon=1e-5, name="bn1")(x)
         x = nn.relu(x)
         for name, feats, stride in DW_BLOCKS:
-            x = DepthWiseBlock(feats, stride, name=name)(x)
+            x = DepthWiseBlock(int(feats * wf), stride, name=name)(x)
         x = x.mean(axis=(1, 2))
         return nn.Dense(self.num_classes, name="fc")(x)
 

@@ -110,3 +110,66 @@ class TestMobileNet:
             ref = tnet(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
         got = np.asarray(jnet.apply(variables, jnp.asarray(x)))
         np.testing.assert_allclose(got, ref, atol=2e-3)
+
+
+class TestBackboneAlternates:
+    """The 3DDFA-zoo alternates (extract_init_states/models/{mobilenet_v3,
+    resnet}.py + the mb05 widen-factor config point) — previously a
+    documented drop, now ported with converter parity."""
+
+    def _x(self, seed, size=120):
+        rng = np.random.RandomState(seed)
+        return rng.randn(2, size, size, 3).astype(np.float32)
+
+    def _run_torch(self, tnet, x):
+        with torch.no_grad():
+            return tnet(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
+
+    @pytest.mark.parametrize("mode", ["small", "large"])
+    def test_mobilenet_v3_parity(self, mode):
+        ref = _load_ref(
+            "ref_mobilenet_v3",
+            "/root/reference/extract_init_states/models/mobilenet_v3.py")
+        from dawn_tpu.models.face3d.backbones import get_backbone
+
+        tnet = _bn_randomize(
+            ref.mobilenet_v3(num_classes=62, size=128, mode=mode).eval(),
+            np.random.RandomState(10))
+        jnet, convert = get_backbone("mobilenet_v3", num_classes=62, mode=mode)
+        variables = convert({k: v for k, v in tnet.state_dict().items()})
+        x = self._x(11, size=128)
+        np.testing.assert_allclose(
+            np.asarray(jnet.apply(variables, jnp.asarray(x))),
+            self._run_torch(tnet, x), atol=2e-3)
+
+    def test_resnet22_parity(self):
+        ref = _load_ref(
+            "ref_resnet22",
+            "/root/reference/extract_init_states/models/resnet.py")
+        from dawn_tpu.models.face3d.backbones import get_backbone
+
+        tnet = _bn_randomize(ref.resnet22(num_classes=62).eval(),
+                             np.random.RandomState(12))
+        jnet, convert = get_backbone("resnet22", num_classes=62)
+        variables = convert({k: v for k, v in tnet.state_dict().items()})
+        x = self._x(13)
+        np.testing.assert_allclose(
+            np.asarray(jnet.apply(variables, jnp.asarray(x))),
+            self._run_torch(tnet, x), atol=2e-3)
+
+    def test_mobilenet_v1_widen05_parity(self):
+        # the mb05_120x120.yml config point (widen_factor 0.5)
+        ref = _load_ref(
+            "ref_mobilenet_wf",
+            "/root/reference/extract_init_states/models/mobilenet_v1.py")
+        from dawn_tpu.models.face3d.backbones import get_backbone
+
+        tnet = _bn_randomize(ref.mobilenet_05(num_classes=62).eval(),
+                             np.random.RandomState(14))
+        jnet, convert = get_backbone("mobilenet", num_classes=62,
+                                     widen_factor=0.5)
+        variables = convert({k: v for k, v in tnet.state_dict().items()})
+        x = self._x(15)
+        np.testing.assert_allclose(
+            np.asarray(jnet.apply(variables, jnp.asarray(x))),
+            self._run_torch(tnet, x), atol=2e-3)
