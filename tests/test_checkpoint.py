@@ -35,3 +35,30 @@ def test_latest_pointer_tracks_newest(tmp_path):
 
 def test_restore_missing_returns_none(tmp_path):
     assert restore_checkpoint(str(tmp_path / "nope")) is None
+
+
+def test_sharded_state_roundtrip(tmp_path):
+    """Multi-chip resume surface: a state sharded over the 8-dev mesh
+    saves (host-gathered), restores into the template structure, and
+    re-shards for the next step."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dawn_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    x = jnp.arange(64, dtype=jnp.float32).reshape(8, 8)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    state = {"params": xs, "mu": {"w": jnp.ones((4,))},
+             "step": jnp.asarray(3, jnp.int32)}
+    d = str(tmp_path / "ck")
+    save_checkpoint(d, state, 3)
+
+    restored = restore_checkpoint(d, template=jax.device_get(state))
+    assert restored_step(restored) == 3
+    np.testing.assert_array_equal(np.asarray(restored["params"]),
+                                  np.asarray(x))
+    y = jax.device_put(jnp.asarray(restored["params"]),
+                       NamedSharding(mesh, P("data")))
+    assert len(y.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))

@@ -514,3 +514,36 @@ class TestPBnetTrainer:
         new_state, m = trainer.train_step(state, jax.random.PRNGKey(2),
                                           batch, 20000)
         assert np.isfinite(float(m["g_total"]))
+
+
+def test_resume_bit_exact(dm_setup, tmp_path):
+    """Interrupt/resume fidelity through the REAL trainer state: step 1 ->
+    checkpoint -> restore -> step 2 must equal the uninterrupted steps 1-2
+    (params, EMA, opt state, step counter) — the reference's resume contract
+    (train...6D.py:199-214) without its lr-schedule recomputation caveats."""
+    import jax
+    from dawn_tpu.utils.checkpoint import (restore_checkpoint, restored_step,
+                                           save_checkpoint)
+
+    trainer, state, batch = dm_setup
+    k1, k2 = jax.random.PRNGKey(21), jax.random.PRNGKey(22)
+    s1, _ = trainer.train_step(state, k1, batch)
+    s1_host = jax.device_get(s1)            # before donation invalidates s1
+    s2, _ = trainer.train_step(s1, k2, batch)
+    s2_host = jax.device_get(s2)
+
+    d = str(tmp_path / "ck")
+    save_checkpoint(d, s1_host, 1)
+    restored = restore_checkpoint(d, template=s1_host)
+    assert restored_step(restored) == 1
+
+    s2b, _ = trainer.train_step(restored, k2, batch)
+    for key in ("params", "ema_params"):
+        np.testing.assert_array_equal(np.asarray(s2b[key]),
+                                      np.asarray(s2_host[key]), err_msg=key)
+    assert int(np.asarray(s2b["step"])) == int(np.asarray(s2_host["step"]))
+    a_leaves = jax.tree_util.tree_leaves(s2_host["opt_state"])
+    b_leaves = jax.tree_util.tree_leaves(jax.device_get(s2b["opt_state"]))
+    assert len(a_leaves) == len(b_leaves)
+    for a, b in zip(a_leaves, b_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
